@@ -1,0 +1,30 @@
+"""Engine configuration.
+
+Replaces the reference's conns.yaml + per-pipeline constants
+(/root/reference/etl/conns.yaml, /root/reference/etl/trade_comtrade_monthly_pipeline.py:120-135)
+with one typed config object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All knobs for one CDC replay job."""
+
+    changes_dir: str  # directory of change-log segment files (parquet)
+    target_dir: str  # snapshot-sink root (or Iceberg table ident)
+    checkpoint_dir: str  # Structured Streaming checkpointLocation
+    n_buckets: int = 16  # conv_id hash buckets in the target layout
+    max_files_per_trigger: int | None = None  # None => AvailableNow single batch
+    # Hot-key handling: a conv_id whose share of a batch exceeds
+    # hot_key_threshold (fraction of batch rows) is salted across
+    # hot_key_salt sub-partitions for the reduce shuffle.
+    hot_key_threshold: float = 0.05
+    hot_key_salt: int = 8
+    quarantine_dir: str | None = None  # malformed-record side output
+    lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
+    format: str = "parquet"  # change-log segment format: parquet|json
+    extra_spark_conf: dict[str, str] = field(default_factory=dict)

@@ -1,0 +1,107 @@
+"""The CDC engine loop: change-log tail → quarantine split → MERGE apply.
+
+Replaces the reference's param-grid re-run drivers
+(/root/reference/etl/trade_comtrade_monthly_pipeline.py:120-135 and the six
+other backfill loops, SURVEY.md §2 S10) with ONE Structured Streaming
+query:
+
+  readStream(segment dir, explicit CHANGE_SCHEMA)
+    → malformed-event quarantine (side output)
+    → foreachBatch( ParquetSnapshotSink.merge )   # LWW MERGE upsert
+
+- Backfill = ``Trigger.AvailableNow`` (+ ``maxFilesPerTrigger`` to get
+  bounded micro-batches); tail = a processingTime trigger on the same
+  query. Offsets live in ``checkpointLocation`` — a restarted query
+  resumes exactly where it stopped; a re-delivered epoch is skipped by
+  the sink's committed-batch guard (exactly-once end to end).
+- Source-side schema reconciliation is free: the stream is read with
+  the *evolved* explicit schema, so epoch-1 segments that predate the
+  `tool` column parse with NULLs; target-side evolution (new columns
+  appearing later) is handled inside the sink via `evolve_schema`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oec_etl_spark.config import EngineConfig
+from oec_etl_spark.schemas import CHANGE_SCHEMA
+from oec_etl_spark.streaming.lineage import BatchLineage, append_jsonl
+from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+VALID_OPS = ("I", "U", "D")
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, malformed). Malformed = unknown op or null key — the
+    engine's DLQ, vs the reference's silent try/except-to-zero
+    (/root/reference/etl/countries/sweden/trade_monthly_pipeline.py:80-85)."""
+    ok = (
+        F.col("op").isin(*VALID_OPS)
+        & F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("seq").isNotNull()
+    )
+    return df.filter(ok), df.filter(~ok)
+
+
+def run_replay(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    fail_after_batches: int | None = None,
+) -> list[BatchLineage]:
+    """Replay the change log into the target; returns per-batch lineage.
+
+    ``fail_after_batches`` is a test hook: raise inside foreachBatch
+    after N successful batches to simulate a mid-replay crash; a
+    subsequent call with the same config must resume losslessly from
+    the checkpoint.
+    """
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
+    lineages: list[BatchLineage] = []
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if fail_after_batches is not None and len(lineages) >= fail_after_batches:
+            raise RuntimeError("injected failure (test hook)")
+        valid, bad = quarantine_split(bdf)
+        n_bad = 0
+        if cfg.quarantine_dir is not None:
+            bad = bad.cache()
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("append").parquet(cfg.quarantine_dir)
+            bad.unpersist()
+        rec = sink.merge(valid, batch_id, quarantined=n_bad)
+        lineages.append(rec)
+        append_jsonl(lineage_path, rec.to_dict())
+
+    reader = spark.readStream.schema(CHANGE_SCHEMA).format(cfg.format)
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+    stream = reader.load(cfg.changes_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return lineages
+
+
+def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
+    """One-shot batch apply of the whole change log (no streaming) —
+    the degenerate case, also the fastest backfill when no
+    incrementality is needed."""
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    df = spark.read.schema(CHANGE_SCHEMA).format(cfg.format).load(cfg.changes_dir)
+    valid, bad = quarantine_split(df)
+    n_bad = 0
+    if cfg.quarantine_dir is not None:
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("append").parquet(cfg.quarantine_dir)
+    return sink.merge(valid, batch_id=0, quarantined=n_bad)

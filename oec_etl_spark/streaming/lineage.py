@@ -1,0 +1,46 @@
+"""Per-batch lineage & metrics.
+
+Every micro-batch commit records: source offset range (min/max seq and
+source files), rows seen / applied / stale (lost LWW to an existing
+row) / quarantined, per-bucket applied-seq watermarks, and wall time.
+Records are embedded in the snapshot manifest (so they commit
+atomically with the data) and appended to a JSONL log for operators.
+
+Counters are collected with ``pyspark.sql.Observation`` on the merge
+plan itself — zero extra passes over the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class BatchLineage:
+    batch_id: int
+    rows_in_batch: int = 0
+    rows_quarantined: int = 0
+    distinct_keys: int = 0
+    rows_applied: int = 0  # batch winners that became the stored row
+    rows_stale: int = 0  # batch winners that lost to the existing row
+    rows_deleted: int = 0  # tombstones now current
+    seq_min: int | None = None
+    seq_max: int | None = None
+    source_files: list[str] = field(default_factory=list)
+    affected_buckets: list[int] = field(default_factory=list)
+    watermarks: dict[str, int] = field(default_factory=dict)  # bucket -> applied seq high
+    skipped_as_committed: bool = False
+    wall_sec: float = 0.0
+    committed_at: float = field(default_factory=time.time)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def append_jsonl(path: str, record: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(record, default=str) + "\n")

@@ -1,0 +1,209 @@
+"""Replay-equivalence tests (FIXTURES.md F5, SURVEY.md §5).
+
+The batch oracle — read ALL events at once, LWW per key, drop deletes —
+is trivially correct by construction. Every engine path (single-batch
+merge, multi-batch streaming, duplicate-heavy delivery, crash+resume,
+schema evolution) must produce a table exactly equal to it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oec_etl_spark.config import EngineConfig
+from oec_etl_spark.generate import GeneratorConfig, generate_changelog
+from oec_etl_spark.operators.lww import materialize
+from oec_etl_spark.schemas import CHANGE_SCHEMA
+from oec_etl_spark.streaming.engine import quarantine_split, replay_batch, run_replay
+from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+
+def _gen(tmp, **kw):
+    cfg = GeneratorConfig(out_dir=str(tmp / "changes"), **kw)
+    stats = generate_changelog(cfg)
+    return cfg, stats
+
+
+def _oracle(spark, changes_dir):
+    df = spark.read.schema(CHANGE_SCHEMA).parquet(f"{changes_dir}/*.parquet")
+    valid, _ = quarantine_split(df)
+    return materialize(valid)
+
+
+def _assert_table_equal(a, b, key=("conv_id", "turn_idx")):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a, b = a.select(*cols), b.select(*cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def _engine_cfg(tmp, **kw):
+    return EngineConfig(
+        changes_dir=str(tmp / "changes"),
+        target_dir=str(tmp / "target"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        n_buckets=8,
+        **kw,
+    )
+
+
+# ------------------------------------------------------------ generator
+def test_generator_deterministic(tmp_path):
+    s1 = generate_changelog(GeneratorConfig(out_dir=str(tmp_path / "a"), seed=7, n_conversations=50))
+    s2 = generate_changelog(GeneratorConfig(out_dir=str(tmp_path / "b"), seed=7, n_conversations=50))
+    assert s1["events_written"] == s2["events_written"]
+    import pyarrow.parquet as pq
+
+    ta = pq.read_table(sorted(glob.glob(str(tmp_path / "a" / "*.parquet")))[0])
+    tb = pq.read_table(sorted(glob.glob(str(tmp_path / "b" / "*.parquet")))[0])
+    assert ta.equals(tb)
+
+
+def test_generator_properties(tmp_path):
+    _, stats = _gen(tmp_path, seed=3, n_conversations=80, duplicate_rate=0.1)
+    assert stats["duplicates"] > 0
+    assert stats["events_written"] == stats["distinct_seq"] + stats["duplicates"]
+    assert stats["updates"] > 0 and stats["deletes"] > 0
+
+
+# --------------------------------------------------- single-batch merge
+def test_batch_merge_equals_oracle(spark, tmp_path):
+    _gen(tmp_path, seed=11, n_conversations=60)
+    cfg = _engine_cfg(tmp_path)
+    rec = replay_batch(spark, cfg)
+    assert rec.rows_applied > 0
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_merge_is_idempotent_same_batch_id(spark, tmp_path):
+    _gen(tmp_path, seed=12, n_conversations=30)
+    cfg = _engine_cfg(tmp_path)
+    replay_batch(spark, cfg)
+    rec2 = replay_batch(spark, cfg)  # same batch_id=0 → epoch guard
+    assert rec2.skipped_as_committed
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_reapply_under_new_batch_id_is_noop(spark, tmp_path):
+    """Semilattice property: re-merging already-applied events (fresh
+    epoch id) changes nothing — at-least-once degrades to effectively-once."""
+    _gen(tmp_path, seed=13, n_conversations=30)
+    cfg = _engine_cfg(tmp_path)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    df = spark.read.schema(CHANGE_SCHEMA).parquet(f"{cfg.changes_dir}/*.parquet")
+    valid, _ = quarantine_split(df)
+    sink.merge(valid, batch_id=0)
+    rec = sink.merge(valid, batch_id=1)  # full duplicate delivery
+    assert rec.rows_applied == 0  # every winner ties with stored row → stored wins
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+# ------------------------------------------------------ streaming paths
+def test_streaming_replay_equals_oracle(spark, tmp_path):
+    _gen(tmp_path, seed=21, n_conversations=80, n_segments=6)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
+    recs = run_replay(spark, cfg)
+    assert len(recs) >= 3  # multiple micro-batches
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+    assert sum(r.rows_in_batch for r in recs) > 0
+
+
+def test_duplicate_and_disorder_heavy(spark, tmp_path):
+    _gen(tmp_path, seed=22, n_conversations=60, duplicate_rate=0.3, disorder_window=200, tie_ts_frac=0.2)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_crash_and_resume_from_checkpoint(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _gen(tmp_path, seed=23, n_conversations=80, n_segments=8)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException):
+        run_replay(spark, cfg, fail_after_batches=3)
+    # restart: resumes from checkpoint, re-delivered epoch skipped by guard
+    recs = run_replay(spark, cfg)
+    assert any(r.skipped_as_committed for r in recs) or len(recs) > 0
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+# -------------------------------------------------------- edge semantics
+def test_delete_semantics_tombstone_vs_late_update(spark, tmp_path):
+    """A delete beats earlier updates but loses to a later one (R3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "seq": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "op": pa.array(["I", "U", "D", "I", "D"], pa.string()),
+        "conv_id": pa.array(["c1", "c1", "c1", "c2", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 0, 0, 0, 0], pa.int32()),
+        "role": pa.array(["user", "user", None, "user", None], pa.string()),
+        "text": pa.array(["a", "b", None, "x", None], pa.string()),
+        "tool": pa.array([None] * 5, pa.string()),
+        "ts": pa.array([1000, 3000, 2000, 1000, 2000], pa.timestamp("us")),
+        "source_file": pa.array(["s"] * 5, pa.string()),
+        "offset": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    }
+    d = tmp_path / "changes"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "seg-00000.parquet"))
+    cfg = _engine_cfg(tmp_path)
+    replay_batch(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    out = {r["conv_id"]: r["text"] for r in sink.read_table().collect()}
+    # c1: update at ts=3000 beats delete at ts=2000 → alive with text 'b'
+    # c2: delete at ts=2000 beats insert at ts=1000 → gone
+    assert out == {"c1": "b"}
+
+
+def test_quarantine_side_output(spark, tmp_path):
+    _gen(tmp_path, seed=24, n_conversations=40, malformed_rate=0.05)
+    q = str(tmp_path / "quarantine")
+    cfg = _engine_cfg(tmp_path, quarantine_dir=q)
+    recs = run_replay(spark, cfg)
+    assert sum(r.rows_quarantined for r in recs) > 0
+    assert spark.read.parquet(q).count() == sum(r.rows_quarantined for r in recs)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_schema_evolution_epochs(spark, tmp_path):
+    """Epoch-1 segments lack `tool`; epoch-2 adds it. Old rows read as
+    NULL tool; post-evolution rows carry it; final table == oracle."""
+    _gen(tmp_path, seed=25, n_conversations=60, n_segments=10, epoch1_fraction=0.5)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    out = sink.read_table()
+    assert "tool" in out.columns
+    _assert_table_equal(out, _oracle(spark, cfg.changes_dir))
+    assert out.filter(F.col("tool").isNotNull()).count() > 0
+
+
+def test_lineage_counters(spark, tmp_path):
+    _gen(tmp_path, seed=26, n_conversations=50, n_segments=4)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
+    recs = run_replay(spark, cfg)
+    stats = __import__("json").load(open(f"{cfg.changes_dir}/_meta.json"))
+    assert sum(r.rows_in_batch for r in recs) == stats["events_written"]
+    assert all(r.seq_min is not None and r.seq_max >= r.seq_min for r in recs if r.rows_in_batch)
+    assert os.path.exists(f"{cfg.target_dir}/_lineage/lineage.jsonl")
+    # watermarks are monotone per bucket across batches
+    seen: dict[str, int] = {}
+    for r in recs:
+        for b, wm in r.watermarks.items():
+            assert wm >= seen.get(b, 0)
+            seen[b] = wm
