@@ -1,0 +1,117 @@
+"""Benchmark harness.
+
+Runs the headline queries plus a CDC replay throughput measurement at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec..., "cdc_replay": sec},
+   "sf": <float>, "cdc_events": N, "cdc_events_per_sec": R}
+
+Modes (env BENCH_MODE): "all" (default) | "cdc" (replay only — used by
+scripts/bench_scaling.py for the N-vs-4N-cores scaling evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
+    """Generate a deterministic change log sized to sf and replay it
+    (single AvailableNow-equivalent batch merge). Returns (events, sec)."""
+    from oec_etl_spark.config import EngineConfig
+    from oec_etl_spark.generate import GeneratorConfig, generate_changelog
+    from oec_etl_spark.streaming.engine import replay_batch
+
+    n_conv = max(200, int(600_000 * sf))
+    gen = GeneratorConfig(
+        out_dir=f"{workdir}/changes",
+        seed=42,
+        n_conversations=n_conv,
+        max_turns=12,
+        update_ratio=0.8,
+        delete_ratio=0.05,
+        duplicate_rate=0.05,
+        n_segments=32,
+        n_hot=5,
+        hot_frac=0.3,
+    )
+    if not os.path.exists(f"{workdir}/changes/_meta.json"):
+        stats = generate_changelog(gen)
+    else:
+        stats = json.load(open(f"{workdir}/changes/_meta.json"))
+    for sub in ("target", "ckpt"):
+        shutil.rmtree(f"{workdir}/{sub}", ignore_errors=True)
+    cfg = EngineConfig(
+        changes_dir=f"{workdir}/changes",
+        target_dir=f"{workdir}/target",
+        checkpoint_dir=f"{workdir}/ckpt",
+        n_buckets=32,
+    )
+    t0 = time.time()
+    replay_batch(spark, cfg)
+    dt = time.time() - t0
+    return stats["events_written"], dt
+
+
+def main() -> None:
+    from oec_etl_spark.plans.queries import REGISTRY, headline_names
+    from oec_etl_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mode = os.environ.get("BENCH_MODE", "all")
+    sf = _sf_of(sf_dir)
+    spark = get_spark(app_name="bench")
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    if mode == "all":
+        for name in headline_names():
+            spec = REGISTRY[name]
+            t0 = time.time()
+            n = spec.build(spark, sf_dir).count()  # full materialization
+            dt = round(time.time() - t0, 3)
+            queries[name] = dt
+            total += dt
+            print(f"  {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    workdir = os.environ.get(
+        "BENCH_CDC_DIR", os.path.join(tempfile.gettempdir(), f"oec_bench_cdc_sf{sf}")
+    )
+    os.makedirs(workdir, exist_ok=True)
+    events, cdc_sec = run_cdc_replay(spark, sf, workdir)
+    queries["cdc_replay"] = round(cdc_sec, 3)
+    total += cdc_sec
+
+    out = {
+        "metric": "headline queries + CDC replay wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cdc_events": events,
+        "cdc_events_per_sec": round(events / cdc_sec, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

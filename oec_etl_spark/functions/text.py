@@ -1,0 +1,116 @@
+"""Text-analysis functions for training-data pipelines.
+
+Each function exists twice from ONE definition: a Spark Column builder
+(pure pyspark.sql.functions — codegen'd, no Python in the hot path)
+and an ANSI-SQL renderer for the DuckDB oracle. Occurrence counting is
+done with length/replace arithmetic (identical semantics in every SQL
+engine) instead of regex wherever possible, so engine and oracle can
+never drift on dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram/marker language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " les ", " et "],
+    "zh": [" zh ", " shi ", " de "],
+}
+STOPWORDS = [" the ", " a ", " and ", " of "]
+PUNCT = [".", ",", "!", "?"]
+
+
+# ------------------------------------------------------------ building blocks
+def occurrences(col: Column, sub: str) -> Column:
+    """# of occurrences of a literal substring (length/replace arithmetic)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit("")))) / F.lit(len(sub))
+
+
+def occurrences_sql(expr: str, sub: str) -> str:
+    lit = sub.replace("'", "''")
+    return f"((length({expr}) - length(replace({expr}, '{lit}', ''))) / {len(sub)})"
+
+
+def n_tokens(col: Column) -> Column:
+    """Whitespace token count: spaces + 1 (generator/driver text is
+    single-space separated; deterministic in both engines)."""
+    return (occurrences(col, " ") + 1).cast("long")
+
+
+def n_tokens_sql(expr: str) -> str:
+    return f"CAST({occurrences_sql(expr, ' ')} + 1 AS BIGINT)"
+
+
+# --------------------------------------------------------------- quality score
+def quality_score(col: Column) -> Column:
+    """Deterministic quality heuristic: favors mid-length docs with a
+    sane stopword ratio and low punctuation density. Returns [0, 1]."""
+    toks = n_tokens(col)
+    stop = sum((occurrences(col, s) for s in STOPWORDS), F.lit(0))
+    punct = sum((occurrences(col, p) for p in PUNCT), F.lit(0))
+    stop_ratio = stop / toks
+    punct_ratio = punct / F.length(col)
+    len_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.lit(1.0), len_score * 0.5 + stop_ratio * 2.0 - punct_ratio * 5.0 + 0.25),
+        ),
+        4,
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = n_tokens_sql(expr)
+    stop = " + ".join(occurrences_sql(expr, s) for s in STOPWORDS)
+    punct = " + ".join(occurrences_sql(expr, p) for p in PUNCT)
+    return (
+        f"round(greatest(0.0, least(1.0, "
+        f"least(length({expr}) / 500.0, 1.0) * 0.5 + (({stop}) / {toks}) * 2.0 "
+        f"- (({punct}) / length({expr})) * 5.0 + 0.25)), 4)"
+    )
+
+
+# ------------------------------------------------------------------ lang id
+def lang_scores(col: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return {lang: sum((occurrences(padded, m) for m in marks), F.lit(0)) for lang, marks in LANG_MARKERS.items()}
+
+
+def predict_lang(col: Column) -> Column:
+    """Marker-frequency language ID: argmax score, ties broken by the
+    fixed language order, 'unk' when nothing matches."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr: Column = F.lit("unk")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def predict_lang_sql(expr: str) -> str:
+    padded = f"(' ' || lower({expr}) || ' ')"
+    scores = {
+        lang: "(" + " + ".join(occurrences_sql(padded, m) for m in marks) + ")"
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    out = "'unk'"
+    for lang in reversed(list(LANG_MARKERS)):
+        out = f"CASE WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}' ELSE {out} END"
+    return f"({out})"
+
+
+# ------------------------------------------------------------- fingerprinting
+def doc_fingerprint(col: Column) -> Column:
+    """Whitespace-normalized md5 content fingerprint."""
+    return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    return f"md5(lower(regexp_replace({expr}, '\\s+', ' ', 'g')))"

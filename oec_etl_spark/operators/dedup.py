@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale text corpora.
+
+The scale path for each:
+- exact: one hash-groupBy — shuffles only (hash, doc_id) pairs after
+  map-side partial aggregation.
+- MinHash+LSH: shingle → k minhashes → b bands → bucket-join. Only
+  docs sharing a band bucket are ever paired, so the candidate join is
+  linear-ish in corpus size instead of O(n²).
+- n-gram Jaccard: exact verification on candidate pairs (or bounded
+  self-join for small corpora) with a document-frequency cap dropping
+  stop-shingles before the join — the classic skew guard.
+- SimHash: 64-bit signed-projection fingerprint; near-dups differ in
+  few bits.
+- embedding cosine: see operators/similarity.py.
+
+Hashing is md5-based and string-ordered so the DuckDB oracle can run
+the *identical* computation (Spark xxhash64 has no DuckDB equivalent).
+All logic is built-ins; SimHash uses bit arithmetic over exploded
+tokens — still no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # minhash signature length
+N_BANDS = 4  # LSH bands (rows per band = N_MINHASH // N_BANDS)
+SHINGLE_LEN = 12  # char-shingle width
+MAX_SHINGLE_DF = 50  # document-frequency cap (stop-shingle guard)
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5(text) groupBy, survivor = min id. Returns
+    (text_hash, survivor_id, n_copies)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------- shingling
+def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct char n-gram shingles per doc: explode over a position
+    sequence (no Python). Output: (id, shingle)."""
+    n = F.length(F.col(text_col)) - (SHINGLE_LEN - 1)
+    return (
+        df.select(id_col, text_col)
+        .filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {SHINGLE_LEN})").alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------- minhash + LSH
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k independent minhashes per doc: min over md5(seed:shingle)
+    strings (string order is engine-portable)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band keys: md5 of the concatenated band rows. Output:
+    (id, band_idx, band_key)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def dedup_minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate *candidate pairs*: docs sharing any LSH band.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    bands = lsh_bands(minhash_signatures(char_shingles(df, text_col, id_col), id_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over distinct char shingles for co-shingled pairs.
+    Stop-shingles (df > MAX_SHINGLE_DF) are dropped before the self-join
+    — without this cap one ubiquitous shingle creates an O(n²) hot key.
+    Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
+    sh = char_shingles(df, text_col, id_col)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")  # broadcast-able at small scale; AQE decides
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token, xxhash64 → for each bit, +1/-1
+    vote; fingerprint bit b = sign of the vote sum. Computed with `bits`
+    aggregate expressions (JVM codegen), one shuffle. Output:
+    (id, simhash:long)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**b).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))

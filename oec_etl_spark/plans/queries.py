@@ -1,0 +1,608 @@
+"""The named query registry: one entry per implemented operator.
+
+Each ``QuerySpec`` pairs a Spark DataFrame builder with the equivalent
+ANSI SQL for the DuckDB oracle (None for genuinely non-SQL-expressible
+ops — those get the driver's weaker rows-only check). Column aliases
+are kept identical on both sides because the correctness gate hashes
+values under name-sorted columns.
+
+Float discipline: every aggregated double is rounded explicitly (sums
+of 2-decimal money at 2, averages at 4-6) so double-summation-order
+differences between Spark and DuckDB cannot flip the value hash.
+Counts are BIGINT on both sides (DuckDB ``sum(BIGINT)`` is cast down
+from HUGEINT explicitly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oec_etl_spark.functions import hs6, text as tx
+from oec_etl_spark.functions.vectors import cosine
+from oec_etl_spark.operators import dedup as dd
+from oec_etl_spark.operators import reshape, similarity
+from oec_etl_spark.operators.lww import lww_reduce
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False  # included in bench.py's headline set
+    tags: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, headline: bool = False, tags: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# =====================================================================
+# Reference-derived relational operators (SURVEY.md §2)
+# =====================================================================
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags="P1 P4 agg groupBy — TPC-H Q1 shape",
+)
+def pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    headline=True,
+    tags="joins: shuffle fact-fact + broadcast dim — TPC-H Q5 shape",
+)
+def revenue_by_nation(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_register(
+    "order_priority_semijoin",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    tags="left-semi join (EXISTS) — TPC-H Q4 shape",
+)
+def order_priority_semijoin(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags="left-anti join (NOT EXISTS)",
+)
+def customers_without_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, revenue, rk FROM (
+      SELECT p_brand, p_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(row_number() OVER (
+                PARTITION BY p_brand
+                ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey
+             ) AS INT) AS rk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey)
+    WHERE rk <= 3
+    """,
+    headline=True,
+    tags="window top-k per group + broadcast join",
+)
+def top_parts_per_brand(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@_register(
+    "region_customer_rollup",
+    """
+    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags="P14/S6 recode via broadcast-join chain (star-schema drilldown)",
+)
+def region_customer_rollup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+@_register(
+    "hs6_section_rollup",
+    f"""
+    SELECT {hs6.hs_section_sql("CAST(substr(lpad(CAST((p_partkey * 487) % 990000 + 10000 AS VARCHAR), 6, '0'), 1, 2) AS INT)")} AS section,
+           count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS sum_price,
+           CAST(max({hs6.hs6_id_sql("CAST((p_partkey * 487) % 990000 + 10000 AS VARCHAR)")}) AS BIGINT) AS max_hs6_id
+    FROM part
+    GROUP BY 1
+    """,
+    tags="P8/P9/P10 banded scalar lookup (hs6_converter, ref etl/util.py:1-26)",
+)
+def hs6_section_rollup(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    code = ((F.col("p_partkey") * 487) % 990000 + 10000).cast("string")
+    hs2 = F.substring(F.lpad(code, 6, "0"), 1, 2).cast("int")
+    return (
+        p.withColumn("section", hs6.hs_section(hs2)).withColumn("hid", hs6.hs6_id(code))
+        .groupBy("section")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            F.max("hid").alias("max_hs6_id"),
+        )
+    )
+
+
+@_register(
+    "dim_time_generated",
+    """
+    SELECT CAST(y * 100 + m AS INT) AS time_id,
+           CAST(y AS INT) AS year, CAST(m AS INT) AS month,
+           CAST(quarter(make_date(CAST(y AS INT), CAST(m AS INT), 1)) AS INT) AS quarter,
+           strftime(make_date(CAST(y AS INT), CAST(m AS INT), 1), '%B') AS month_name
+    FROM generate_series(1995, 2019) t(y), generate_series(1, 12) s(m)
+    """,
+    tags="S4/R6/R7 generated dim (ref dim_time_pipeline.py:40-56)",
+)
+def dim_time_generated(spark, sf_dir):
+    return reshape.generate_time_dim(spark, 1995, 2019)
+
+
+@_register(
+    "melt_measures",
+    """
+    SELECT variable, count(*) AS n, round(sum(value), 2) AS total
+    FROM (
+      SELECT l_orderkey, 'qty' AS variable, l_quantity AS value FROM lineitem
+      UNION ALL SELECT l_orderkey, 'price', l_extendedprice FROM lineitem
+      UNION ALL SELECT l_orderkey, 'discount', l_discount FROM lineitem
+      UNION ALL SELECT l_orderkey, 'tax', l_tax FROM lineitem)
+    GROUP BY variable
+    """,
+    tags="R4 unpivot via stack() (ref indicators_wdi_annual_pipeline.py:19-30 iterrows melt)",
+)
+def melt_measures(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").withColumnsRenamed(
+        {"l_quantity": "qty", "l_extendedprice": "price", "l_discount": "discount", "l_tax": "tax"}
+    )
+    long = reshape.melt(li, ["l_orderkey"], ["qty", "price", "discount", "tax"])
+    return long.groupBy("variable").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@_register(
+    "period_explode_months",
+    """
+    SELECT CAST(m AS INT) AS month, count(*) AS n_orders
+    FROM (
+      SELECT unnest(CASE CAST(quarter(o_orderdate) AS INT)
+                    WHEN 1 THEN [1,2,3] WHEN 2 THEN [4,5,6]
+                    WHEN 3 THEN [7,8,9] ELSE [10,11,12] END) AS m
+      FROM orders)
+    GROUP BY 1
+    """,
+    tags="R5 period→rows explode (ref countries/sweden/trade_monthly_pipeline.py:59-89)",
+)
+def period_explode_months(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").withColumn("q", F.quarter("o_orderdate").cast("string"))
+    months = {"1": [1, 2, 3], "2": [4, 5, 6], "3": [7, 8, 9], "4": [10, 11, 12]}
+    return (
+        reshape.explode_periods(o, months, "q", "month")
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "events_clean_recode",
+    """
+    SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k
+          FROM events WHERE event_type <> 'error' AND value IS NOT NULL)
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags="P4/P5/P6 filter+clean + JSON envelope parse (from_json analog)",
+)
+def events_clean_recode(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("event_type") != "error") & F.col("value").isNotNull())
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+# =====================================================================
+# CDC semantics over the shared tables (oracle-checkable LWW/windows)
+# =====================================================================
+
+@_register(
+    "events_lww_latest",
+    """
+    SELECT user_id, event_type AS last_type, round(value, 4) AS last_value, ts AS last_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    headline=True,
+    tags="LWW core: latest-per-key with deterministic tiebreak (engine's merge reduction)",
+)
+def events_lww_latest(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    win = lww_reduce(e, keys=("user_id",), order=("ts", "event_id"))
+    return win.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    tags="time-bucketed rollup (streaming tumbling-window batch analog)",
+)
+def events_hourly_rollup(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    SELECT user_id, CAST(max(session_id) AS INT) AS n_sessions, count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS session_id
+      FROM (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events))
+    GROUP BY user_id
+    """,
+    tags="sessionization: gap>30min windows (streaming session_window batch analog)",
+)
+def events_sessionize(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsm = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tsm - F.lag(tsm).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w).cast("int"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# =====================================================================
+# Training-data pipeline: dedup / text analysis / similarity
+# =====================================================================
+
+_SH = dd.SHINGLE_LEN
+
+_SHINGLE_CTE = f"""
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest([substr(text, CAST(i AS INT), {_SH})
+                     for i in generate_series(1, len(text) - {_SH - 1})]) AS shingle
+      FROM documents
+    )
+"""
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags="exact dedup: hash-groupBy survivors",
+)
+def dedup_exact(spark, sf_dir):
+    return dd.dedup_exact(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(dd.N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, md5(concat(mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
+          for b in range(dd.N_BANDS)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    headline=True,
+    tags="MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dd.dedup_minhash_lsh(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {dd.MAX_SHINGLE_DF}),
+    sh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    """,
+    tags="n-gram Jaccard verify with stop-shingle DF cap (skew guard)",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@_register(
+    "doc_quality",
+    f"""
+    SELECT doc_id,
+           {tx.n_tokens_sql("text")} AS n_tokens,
+           {tx.quality_score_sql("text")} AS quality
+    FROM documents
+    """,
+    tags="quality scoring: length/stopword/punctuation heuristics",
+)
+def doc_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.n_tokens(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@_register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {tx.predict_lang_sql("text")} AS pred_lang, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    tags="language-ID marker heuristic (confusion matrix vs labels)",
+)
+def lang_id_confusion(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, {tx.doc_fingerprint_sql("text")} AS fingerprint FROM documents
+    """,
+    tags="document fingerprinting (normalized content hash)",
+)
+def doc_fingerprints(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_register(
+    "simhash_docs",
+    None,  # xxhash64 has no DuckDB twin — rows-only check
+    tags="SimHash 32-bit fingerprint via bitwise vote aggregation",
+)
+def simhash_docs(spark, sf_dir):
+    return dd.simhash(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ann_brute_topk",
+    """
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) DESC, e.vec_id
+    LIMIT 10
+    """,
+    headline=True,
+    tags="exact cosine top-k (ANN baseline)",
+)
+def ann_brute_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = emb.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec])), 4).alias("cos"),
+    )
+    return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(10)
+
+
+@_register(
+    "ann_ivf_assign",
+    """
+    SELECT vec_id, centroid_id FROM (
+      SELECT e.vec_id, CAST(c.vec_id AS INT) AS centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c)
+    WHERE rn = 1
+    """,
+    tags="IVF cluster assignment via broadcast centroids (ANN scale path)",
+)
+def ann_ivf_assign(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = similarity.ivf_assign(emb, cents)
+    return out.select("vec_id", F.col("centroid_id").cast("int").alias("centroid_id"))
+
+
+@_register(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+    """,
+    tags="embedding-cosine near-dup pairs",
+)
+def embedding_neardup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.8)
+    )
+
+
+def headline_names() -> list[str]:
+    return [s.name for s in REGISTRY.values() if s.headline]
