@@ -39,7 +39,7 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
     from oec_etl_spark.generate import GeneratorConfig, generate_changelog
     from oec_etl_spark.streaming.engine import replay_batch
 
-    n_conv = max(200, int(600_000 * sf))
+    n_conv = int(os.environ.get("BENCH_CDC_CONV", "0")) or max(200, int(600_000 * sf))
     gen = GeneratorConfig(
         out_dir=f"{workdir}/changes",
         seed=42,
@@ -52,10 +52,11 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
         n_hot=5,
         hot_frac=0.3,
     )
-    if not os.path.exists(f"{workdir}/changes/_meta.json"):
+    meta_path = f"{workdir}/changes/_meta.json"
+    stats = json.load(open(meta_path)) if os.path.exists(meta_path) else None
+    if stats is None or stats["config"]["n_conversations"] != n_conv:
+        shutil.rmtree(f"{workdir}/changes", ignore_errors=True)
         stats = generate_changelog(gen)
-    else:
-        stats = json.load(open(f"{workdir}/changes/_meta.json"))
     for sub in ("target", "ckpt"):
         shutil.rmtree(f"{workdir}/{sub}", ignore_errors=True)
     cfg = EngineConfig(

@@ -1,0 +1,109 @@
+"""spark-submit entry point: replay / resume / verify / compact.
+
+Replaces the reference's per-pipeline ``__main__`` grids and the
+bamboo-cli subprocess spawner
+(/root/reference/etl/trade_comtrade_monthly_pipeline.py:120-135,
+/root/reference/etl/countries/brazil/cli_pipeline.py:1-10) with one
+idempotent command surface::
+
+    spark-submit --py-files oec_etl_spark.zip -m oec_etl_spark.cli \\
+        replay  --changes DIR --target DIR --checkpoint DIR [--buckets N]
+        resume  ... (identical to replay: the checkpoint IS the resume point)
+        verify  --changes DIR --target DIR   # table == batch oracle?
+        lineage --target DIR                 # print per-batch lineage JSONL
+
+`replay` and `resume` are deliberately the same code path — restarting
+the streaming query against the same checkpointLocation continues from
+the recorded offsets, and the sink's committed-batch guard absorbs any
+re-delivered epoch (north rule: "resumable from checkpoint").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from oec_etl_spark.config import EngineConfig
+
+
+def _cfg(args: argparse.Namespace) -> EngineConfig:
+    return EngineConfig(
+        changes_dir=args.changes,
+        target_dir=args.target,
+        checkpoint_dir=args.checkpoint,
+        n_buckets=args.buckets,
+        max_files_per_trigger=args.max_files_per_trigger,
+        quarantine_dir=args.quarantine,
+    )
+
+
+def cmd_replay(spark, args) -> int:
+    from oec_etl_spark.streaming.engine import run_replay
+
+    recs = run_replay(spark, _cfg(args))
+    applied = sum(r.rows_applied for r in recs)
+    print(json.dumps({"batches": len(recs), "rows_applied": applied}))
+    return 0
+
+
+def cmd_verify(spark, args) -> int:
+    from oec_etl_spark.operators.lww import materialize
+    from oec_etl_spark.schemas import CHANGE_SCHEMA
+    from oec_etl_spark.streaming.engine import quarantine_split
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    table = ParquetSnapshotSink(spark, args.target, args.buckets).read_table()
+    raw = spark.read.schema(CHANGE_SCHEMA).parquet(f"{args.changes}/*.parquet")
+    valid, _ = quarantine_split(raw)
+    oracle = materialize(valid)
+    cols = sorted(table.columns)
+    diff = (
+        table.select(*cols).exceptAll(oracle.select(*cols)).count()
+        + oracle.select(*cols).exceptAll(table.select(*cols)).count()
+    )
+    print(json.dumps({"table_rows": table.count(), "oracle_rows": oracle.count(), "diff_rows": diff}))
+    return 0 if diff == 0 else 1
+
+
+def cmd_lineage(spark, args) -> int:
+    path = f"{args.target}/_lineage/lineage.jsonl"
+    try:
+        with open(path) as f:
+            sys.stdout.write(f.read())
+        return 0
+    except FileNotFoundError:
+        print(f"no lineage at {path}", file=sys.stderr)
+        return 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="oec_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("replay", "resume", "verify", "lineage"):
+        sp = sub.add_parser(name)
+        if name != "lineage":
+            sp.add_argument("--changes", required=True)
+        sp.add_argument("--target", required=True)
+        if name in ("replay", "resume"):
+            sp.add_argument("--checkpoint", required=True)
+            sp.add_argument("--max-files-per-trigger", type=int, default=None)
+            sp.add_argument("--quarantine", default=None)
+        sp.add_argument("--buckets", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from oec_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"oec_etl_spark.{args.cmd}")
+    try:
+        if args.cmd in ("replay", "resume"):
+            return cmd_replay(spark, args)
+        if args.cmd == "verify":
+            return cmd_verify(spark, args)
+        return cmd_lineage(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,6 +106,21 @@ def predict_lang_sql(expr: str) -> str:
     return f"({out})"
 
 
+# -------------------------------------------------------------- BPE-ish tokens
+# GPT-2-style coarse pre-tokenizer: letter runs | digit runs | single
+# non-alnum marks. RE2-compatible, so Spark (Java regex) and DuckDB
+# (RE2) agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_PATTERN}')) AS BIGINT)"
+
+
 # ------------------------------------------------------------- fingerprinting
 def doc_fingerprint(col: Column) -> Column:
     """Whitespace-normalized md5 content fingerprint."""

@@ -21,7 +21,7 @@ choosing a sub-bucket fan-out when writing a skewed bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oec_etl_spark.schemas import META_BUCKET
@@ -43,13 +43,18 @@ def salted_repartition(df: DataFrame, n_partitions: int) -> DataFrame:
     return df.repartition(n_partitions, "conv_id", "turn_idx")
 
 
-def hot_keys(df: DataFrame, threshold_frac: float = 0.05) -> DataFrame:
+def hot_keys(df: DataFrame, threshold_frac: float = 0.05, total: int | None = None) -> DataFrame:
     """Frequency sketch: conv_ids holding more than `threshold_frac` of
-    the batch. Cheap (one partial-agg shuffle of distinct conv_ids)."""
-    total = F.sum(F.col("cnt")).over(Window.partitionBy())
+    the batch's rows. Two cheap jobs: a scalar count, then a partial-agg
+    groupBy whose output is filtered to the (tiny) hot set *before*
+    anything leaves the executors — no global window / single-reducer
+    total, so this stays flat at 10^10-row batches."""
+    if total is None:
+        total = df.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame([], "conv_id string, cnt long, frac double")
     counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        counts.withColumn("frac", F.col("cnt") / total)
-        .filter(F.col("frac") > threshold_frac)
-        .select("conv_id", "cnt", F.round("frac", 6).alias("frac"))
+        counts.filter(F.col("cnt") > threshold_frac * total)
+        .select("conv_id", "cnt", F.round(F.col("cnt") / F.lit(total), 6).alias("frac"))
     )

@@ -30,25 +30,46 @@ from pyspark.sql import functions as F
 from oec_etl_spark.schemas import KEY_COLUMNS, ORDER_COLUMNS
 
 
+_SALT = "__salt"
+
+
 def lww_reduce(
     changes: DataFrame,
     keys: Sequence[str] = KEY_COLUMNS,
     order: Sequence[str] = ORDER_COLUMNS,
+    salt: int | None = None,
 ) -> DataFrame:
     """Reduce a change set to one winning row per key.
 
     Output columns: keys + every non-key column of `changes` (the
     winner's values), in the original column order.
+
+    ``salt`` enables the explicit hot-key path (north rule): a
+    two-stage reduce where stage 1 groups by (keys, salt) with the salt
+    derived from the event's unique ``seq`` — spreading one hammered
+    key over `salt` reducers — and stage 2 reduces the ≤`salt`
+    stage-1 winners per key. Correct for any salt because the LWW
+    reduction is associative; used by the sink only for batches whose
+    frequency sketch actually shows hot conversations, since it costs
+    one extra (tiny) shuffle.
     """
     keys = list(keys)
     order = [c for c in order if c in changes.columns and c not in keys]
     payload = [c for c in changes.columns if c not in keys]
-    win = F.max_by(
-        F.struct(*[F.col(c) for c in payload]),
-        F.struct(*[F.col(c) for c in order]),
-    ).alias("_w")
-    out = changes.groupBy(*keys).agg(win)
-    return out.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+    def reduce_by(df: DataFrame, group_cols: list[str]) -> DataFrame:
+        win = F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in order]),
+        ).alias("_w")
+        out = df.groupBy(*group_cols).agg(win)
+        return out.select(*group_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+    if salt:
+        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt)).cast("int")
+        partial = reduce_by(changes.withColumn(_SALT, salt_col), [*keys, _SALT]).drop(_SALT)
+        return reduce_by(partial, keys)
+    return reduce_by(changes, keys)
 
 
 def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFrame:

@@ -604,5 +604,241 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Temporal / range joins, multidim aggregation, set ops
+# =====================================================================
+
+@_register(
+    "events_asof_enrich",
+    """
+    WITH p AS (SELECT user_id, ts, value, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts,
+           round(p.value, 4) AS purchase_value,
+           p.event_id AS purchase_event_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    headline=True,
+    tags="as-of join (temporal enrichment): union+sort-merge, no per-key cross product",
+)
+def events_asof_enrich(spark, sf_dir):
+    from oec_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = lww_reduce(
+        e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value", "event_id"),
+        keys=("user_id", "ts"),
+        order=("event_id",),
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts="ts", right_cols=["value", "event_id"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value_asof", 4).alias("purchase_value"),
+        F.col("event_id_asof").alias("purchase_event_id"),
+    )
+
+
+_QTY_BANDS = [("low", 0, 10), ("mid", 10, 25), ("high", 25, 100)]
+
+
+@_register(
+    "quantity_band_range_join",
+    f"""
+    SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _QTY_BANDS)}) bands(band, lo, hi)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    tags="range join against broadcast band dim (banded-lookup-as-join, ref etl/util.py bands)",
+)
+def quantity_band_range_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo int, hi int")
+    return (
+        li.join(F.broadcast(bands), (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+@_register(
+    "priority_status_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tags="multidim aggregation: ROLLUP + grouping_id (partial/final agg hierarchy)",
+)
+def priority_status_rollup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+    )
+
+
+_MANUAL_NATIONS = [(0, "MANUAL_ALGERIA", 0, 2), (98, "MANUAL_NEWLAND", 3, 2)]
+
+
+@_register(
+    "dim_union_dedup_keepfirst",
+    f"""
+    SELECT n_nationkey, n_name, src FROM (
+      SELECT n_nationkey, n_name, src,
+             row_number() OVER (PARTITION BY n_nationkey ORDER BY src, n_name) AS rn
+      FROM (
+        SELECT n_nationkey, n_name, 1 AS src FROM nation
+        UNION ALL
+        SELECT * FROM (VALUES {", ".join(f"({k}, '{nm}', {p})" for k, nm, _, p in _MANUAL_NATIONS)}) m(n_nationkey, n_name, src)
+      )) WHERE rn = 1
+    """,
+    tags="R1+R3: union literal rows + keep-first dedup (ref dim_countries_pipeline.py:25-44, dim_eb_pipeline.py:43-55)",
+)
+def dim_union_dedup_keepfirst(spark, sf_dir):
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", F.lit(1).alias("src"))
+    manual = spark.createDataFrame(
+        [(k, nm, p) for k, nm, _, p in _MANUAL_NATIONS], "n_nationkey int, n_name string, src int"
+    )
+    unioned = reshape.union_all([n, manual])
+    return reshape.dedup_keep_first(unioned, keys=["n_nationkey"], order=["src", "n_name"])
+
+
+@_register(
+    "customer_nations_except_suppliers",
+    """
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier)
+    GROUP BY nationkey
+    """,
+    tags="set op: EXCEPT ALL (multiset difference; replay-diff building block)",
+)
+def customer_nations_except_suppliers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           {tx.n_tokens_sql("text")} AS ws_tokens,
+           {tx.bpe_token_count_sql("text")} AS bpe_tokens
+    FROM documents
+    """,
+    tags="token counting: whitespace + BPE-ish regex pre-tokenizer",
+)
+def token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.n_tokens(F.col("text")).alias("ws_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# =====================================================================
+# Multimodal: binary media columns + Arrow-batched decode plumbing
+# =====================================================================
+
+_MEDIA_SRC = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 3 = 0 THEN 'IMG0'
+              WHEN doc_id % 3 = 1 THEN 'AUD0' ELSE 'VID0' END AS hdr,
+         4 + octet_length(encode(text)) AS n, text
+  FROM documents)"""
+
+
+@_register(
+    "media_decode_meta",
+    f"""
+    SELECT doc_id, kind,
+           CAST(n AS BIGINT) AS byte_len,
+           CAST(64 + n % 640 AS INT) AS width,
+           CAST(64 + (n * 7) % 480 AS INT) AS height,
+           CAST(1 + n % 24 AS INT) AS n_frames,
+           md5(hdr || text) AS checksum
+    FROM {_MEDIA_SRC} s
+    """,
+    headline=True,
+    tags="multimodal: binary media column → mapInPandas decode (deterministic fake codec) → typed metadata",
+)
+def media_decode_meta(spark, sf_dir):
+    from oec_etl_spark.functions import multimodal as mm
+
+    return mm.decode_media(mm.attach_media(load(spark, sf_dir, "documents")))
+
+
+@_register(
+    "media_frame_sample",
+    f"""
+    SELECT doc_id, CAST(u AS INT) AS frame_idx
+    FROM (SELECT doc_id, 1 + n % 24 AS nf FROM {_MEDIA_SRC} s WHERE kind = 'video') v,
+    UNNEST(generate_series(0, CAST(nf - 1 AS INT), 4)) t(u)
+    """,
+    tags="multimodal: video frame sampling via Arrow-batched row expansion",
+)
+def media_frame_sample(spark, sf_dir):
+    from oec_etl_spark.functions import multimodal as mm
+
+    frames = mm.sample_frames(mm.attach_media(load(spark, sf_dir, "documents")), every=4)
+    return frames.select("doc_id", "frame_idx")
+
+
+@_register(
+    "media_resize_stats",
+    f"""
+    SELECT doc_id, CAST(least(n, 256) AS INT) AS thumb_len FROM {_MEDIA_SRC} s
+    """,
+    tags="multimodal: bandwidth-bounded resize stub (binary in → capped binary out)",
+)
+def media_resize_stats(spark, sf_dir):
+    from oec_etl_spark.functions import multimodal as mm
+
+    thumbs = mm.resize_media(mm.attach_media(load(spark, sf_dir, "documents")), max_bytes=256)
+    return thumbs.select("doc_id", "thumb_len")
+
+
+_HEXD = "0123456789abcdef"
+_FEAT_BYTE = "((strpos('{hx}', substr(h, {p1}, 1)) - 1) * 16 + strpos('{hx}', substr(h, {p2}, 1)) - 1)"
+
+
+@_register(
+    "media_feature_sum",
+    f"""
+    SELECT doc_id, round({" + ".join(
+        _FEAT_BYTE.format(hx=_HEXD, p1=2 * i + 1, p2=2 * i + 2) + " / 256.0" for i in range(8)
+    )}, 4) AS feat_sum
+    FROM (SELECT doc_id, md5(hdr || text) AS h FROM {_MEDIA_SRC} s) m
+    """,
+    tags="multimodal: feature-extract stub (binary → float vector, Arrow-batched)",
+)
+def media_feature_sum(spark, sf_dir):
+    from oec_etl_spark.functions import multimodal as mm
+
+    feats = mm.extract_features(mm.attach_media(load(spark, sf_dir, "documents")), dim=8)
+    return feats.select(
+        "doc_id",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+        ).alias("feat_sum"),
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

@@ -58,7 +58,10 @@ def run_replay(
     subsequent call with the same config must resume losslessly from
     the checkpoint.
     """
-    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    sink = ParquetSnapshotSink(
+        spark, cfg.target_dir, cfg.n_buckets,
+        hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
+    )
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
     lineages: list[BatchLineage] = []
 
@@ -96,7 +99,10 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
     """One-shot batch apply of the whole change log (no streaming) —
     the degenerate case, also the fastest backfill when no
     incrementality is needed."""
-    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    sink = ParquetSnapshotSink(
+        spark, cfg.target_dir, cfg.n_buckets,
+        hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
+    )
     df = spark.read.schema(CHANGE_SCHEMA).format(cfg.format).load(cfg.changes_dir)
     valid, bad = quarantine_split(df)
     n_bad = 0

@@ -31,6 +31,8 @@ class BatchLineage:
     seq_max: int | None = None
     source_files: list[str] = field(default_factory=list)
     affected_buckets: list[int] = field(default_factory=list)
+    hot_keys: list[dict] = field(default_factory=list)  # [{conv_id, cnt, frac}] over threshold
+    salted: bool = False  # two-stage salted reduce used for this batch
     watermarks: dict[str, int] = field(default_factory=dict)  # bucket -> applied seq high
     skipped_as_committed: bool = False
     wall_sec: float = 0.0

@@ -22,18 +22,28 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cpus: int, sf_dir: str, reps: int = 2) -> dict:
+# ~6M delivered events: large enough that per-core work dominates the
+# fixed job-scheduling cost (the 10^10 target regime); generated once,
+# shared by both runs.
+N_CONV = int(os.environ.get("BENCH_CDC_CONV", "480000"))
+REPS = int(os.environ.get("BENCH_SCALING_REPS", "1"))
+
+
+def run_at(cpus: int, sf_dir: str, reps: int = REPS) -> dict:
     best = None
     for _ in range(reps):
         env = os.environ | {
             "SPARK_GRAFT_CPUS": str(cpus),
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "BENCH_MODE": "cdc",
+            "BENCH_CDC_CONV": str(N_CONV),
         }
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True, cwd=REPO,
-        )
+        # Pin the JVM to exactly `cpus` hardware threads: local[8] on an
+        # unrestricted 32-core host would still use idle cores for GC,
+        # parquet codec and OS I/O work, understating the 8-core rate
+        # and corrupting the N→4N comparison.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO)
         res = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or res["cdc_events_per_sec"] > best["cdc_events_per_sec"]:
             best = res
@@ -67,7 +77,9 @@ efficiency ≥ 0.8 from N to 4N executors (BASELINE.json). Sandbox
 proxy per driver instruction: the identical replay (same generated
 change log, {r8['cdc_events']:,} delivered events incl. duplicates, single
 merge into a 32-bucket snapshot target) at `local[8]` vs `local[32]`,
-fresh JVM per run, best of 2.
+fresh JVM per run, each pinned with `taskset` to exactly 8 / 32
+hardware threads so the 8-core run cannot borrow idle cores for GC,
+codec, or OS I/O work.
 
 | parallelism | wall sec | events/sec |
 |---|---|---|

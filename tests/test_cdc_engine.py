@@ -193,6 +193,28 @@ def test_schema_evolution_epochs(spark, tmp_path):
     assert out.filter(F.col("tool").isNotNull()).count() > 0
 
 
+def test_hot_key_salting_detects_and_matches_oracle(spark, tmp_path):
+    """A conversation hammered with updates (hot_frac of the batch on
+    n_hot=1 conv) must trip the frequency sketch, flip the merge to the
+    two-stage salted reduce, and still byte-match the oracle."""
+    _gen(tmp_path, seed=27, n_conversations=40, update_ratio=3.0, hot_frac=0.8, n_hot=1)
+    cfg = _engine_cfg(tmp_path, hot_key_threshold=0.05, hot_key_salt=8)
+    rec = replay_batch(spark, cfg)
+    assert rec.salted
+    assert rec.hot_keys and any(h["frac"] > 0.05 for h in rec.hot_keys)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_salted_reduce_equals_plain(spark, tmp_path):
+    """Associativity check: salted two-stage LWW == single-stage LWW."""
+    from oec_etl_spark.operators.lww import lww_reduce
+
+    _gen(tmp_path, seed=28, n_conversations=50, update_ratio=2.0, tie_ts_frac=0.2)
+    df = spark.read.schema(CHANGE_SCHEMA).parquet(str(tmp_path / "changes" / "*.parquet"))
+    _assert_table_equal(lww_reduce(df, salt=8), lww_reduce(df))
+
+
 def test_lineage_counters(spark, tmp_path):
     _gen(tmp_path, seed=26, n_conversations=50, n_segments=4)
     cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
