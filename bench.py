@@ -57,8 +57,26 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
     if stats is None or stats["config"]["n_conversations"] != n_conv:
         shutil.rmtree(f"{workdir}/changes", ignore_errors=True)
         stats = generate_changelog(gen)
-    for sub in ("target", "ckpt"):
+    for sub in ("target", "ckpt", "warm_target", "warm_ckpt"):
         shutil.rmtree(f"{workdir}/{sub}", ignore_errors=True)
+
+    # JVM warm-up (JMH practice): one tiny replay first so classloading,
+    # JIT and codegen compilation are excluded from the timed section —
+    # they are fixed per-JVM costs that would otherwise bias the
+    # N-vs-4N-cores comparison against the faster configuration.
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        if not os.path.exists(f"{workdir}/warm_changes/_meta.json"):
+            generate_changelog(GeneratorConfig(out_dir=f"{workdir}/warm_changes", seed=1, n_conversations=300, n_segments=4))
+        replay_batch(
+            spark,
+            EngineConfig(
+                changes_dir=f"{workdir}/warm_changes",
+                target_dir=f"{workdir}/warm_target",
+                checkpoint_dir=f"{workdir}/warm_ckpt",
+                n_buckets=32,
+            ),
+        )
+
     cfg = EngineConfig(
         changes_dir=f"{workdir}/changes",
         target_dir=f"{workdir}/target",

@@ -65,6 +65,7 @@ class GeneratorConfig:
     tie_ts_frac: float = 0.05  # updates that reuse an existing ts (tiebreak test)
     malformed_rate: float = 0.0
     text_pool: int = 512  # distinct base sentences
+    file_format: str = "parquet"  # segment format: parquet | json (ndjson)
 
 
 def _texts(rng: np.random.Generator, n: int, pool: int) -> np.ndarray:
@@ -185,9 +186,10 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
         bounds = np.linspace(0, n_total, cfg.n_segments + 1).astype(int)
     ts_col = (T0 + ts_us.astype("timedelta64[us]")).astype("datetime64[us]")
 
+    ext = "json" if cfg.file_format == "json" else "parquet"
     for s in range(cfg.n_segments):
         sel = delivery[bounds[s] : bounds[s + 1]]
-        fname = f"seg-{s:05d}.parquet"
+        fname = f"seg-{s:05d}.{ext}"
         cols: dict[str, pa.Array] = {
             "seq": pa.array(seq[sel]),
             "op": pa.array(op[sel].tolist(), pa.string()),
@@ -201,7 +203,18 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
         cols["ts"] = pa.array(ts_col[sel], pa.timestamp("us"))
         cols["source_file"] = pa.array([fname] * sel.size, pa.string())
         cols["offset"] = pa.array(np.arange(sel.size, dtype="int64"))
-        pq.write_table(pa.table(cols), os.path.join(cfg.out_dir, fname))
+        table = pa.table(cols)
+        if ext == "json":
+            # ndjson binlog segments (the wire format a Debezium-style
+            # tail would deliver); ts as ISO-8601 micros for Spark's
+            # JSON reader under the explicit CHANGE_SCHEMA.
+            pdf = table.to_pandas()
+            pdf["ts"] = pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            pdf.to_json(
+                os.path.join(cfg.out_dir, fname), orient="records", lines=True, date_format="iso"
+            )
+        else:
+            pq.write_table(table, os.path.join(cfg.out_dir, fname))
 
     stats = {
         "events_written": int(n_total),

@@ -135,14 +135,28 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash fingerprint: per token, xxhash64 → for each bit, +1/-1
-    vote; fingerprint bit b = sign of the vote sum. Computed with `bits`
-    aggregate expressions (JVM codegen), one shuffle. Output:
-    (id, simhash:long)."""
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """SimHash fingerprint: per token, a 64-bit hash → for each bit,
+    +1/-1 vote; fingerprint bit b = sign of the vote sum. Computed with
+    `bits` aggregate expressions (JVM codegen), one shuffle. Output:
+    (id, simhash:long).
+
+    ``portable_hash`` swaps xxhash64 (fastest, JVM-only) for a 32-bit
+    int parsed from the leading md5 hex — bit-identical in DuckDB, so
+    the oracle can verify the full fingerprint."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if portable_hash:
+        toks = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -156,3 +170,42 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         term = bit * F.lit(2**b).cast("long")
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+# -------------------------------------------------- survivor resolution
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected-component survivor assignment: every doc maps to the
+    minimum doc_id reachable through the near-dup pair graph (survivor
+    == itself for unique docs).
+
+    Iterative min-label propagation: each round joins current labels
+    across the (symmetrized) edge set and keeps the per-node minimum;
+    converges in O(component diameter) rounds — near-dup clusters are
+    shallow, so a handful. ``localCheckpoint`` truncates the plan each
+    round (iterative joins otherwise stack exponentially deep lineage).
+    At billions of edges the same loop is run with the large-star/
+    small-star optimization (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"); the fixpoint logic is identical.
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    labels = docs.select(F.col(id_col).alias("u")).distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        new = (
+            labels.join(nbr_min, "u", "left")
+            .select("u", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl"), (F.col("nbr") < F.col("lbl")).alias("chg"))
+        ).localCheckpoint()
+        changed = new.filter(F.col("chg")).limit(1).count()
+        labels = new.drop("chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("survivor_id"))

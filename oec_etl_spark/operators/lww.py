@@ -38,6 +38,8 @@ def lww_reduce(
     keys: Sequence[str] = KEY_COLUMNS,
     order: Sequence[str] = ORDER_COLUMNS,
     salt: int | None = None,
+    hot_ids: Sequence[str] | None = None,
+    hot_col: str = "conv_id",
 ) -> DataFrame:
     """Reduce a change set to one winning row per key.
 
@@ -65,11 +67,77 @@ def lww_reduce(
         out = df.groupBy(*group_cols).agg(win)
         return out.select(*group_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
+    if salt and hot_ids is not None:
+        # Skew-split: two-stage only where it pays. Salting a cold key
+        # (≤ a few rows) gives the stage-1 groups nothing to combine and
+        # doubles its shuffle volume; the hot subset (few conv_ids, huge
+        # row share) is exactly where the extra stage collapses data.
+        is_hot = F.col(hot_col).isin(list(hot_ids))
+        cold = reduce_by(changes.filter(~is_hot), keys)
+        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt)).cast("int")
+        hot1 = reduce_by(changes.filter(is_hot).withColumn(_SALT, salt_col), [*keys, _SALT]).drop(_SALT)
+        return cold.unionByName(reduce_by(hot1, keys))
     if salt:
         salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt)).cast("int")
         partial = reduce_by(changes.withColumn(_SALT, salt_col), [*keys, _SALT]).drop(_SALT)
         return reduce_by(partial, keys)
     return reduce_by(changes, keys)
+
+
+def lww_reduce_hash(
+    changes: DataFrame,
+    keys: Sequence[str] = KEY_COLUMNS,
+    order: Sequence[str] = ORDER_COLUMNS,
+    salt: int | None = None,
+    hot_ids: Sequence[str] | None = None,
+    hot_col: str = "conv_id",
+) -> DataFrame:
+    """LWW winner selection that never sorts the payload.
+
+    ``max_by(struct(payload), struct(order))`` carries a variable-length
+    aggregation buffer (the payload has strings), which Spark cannot put
+    in the codegen'd hash map — the plan degrades to SortAggregate and
+    every payload row is SORTED twice (partial + final). Measured on the
+    6M-event bench this sort dominates the merge stage.
+
+    This variant aggregates only the slim (keys, order) projection —
+    ~40 B/row instead of ~300 B, so even its SortAggregate fallback is
+    cheap — then fetches the winners' payload with a LEFT SEMI
+    shuffle-hash join (hinted: no sort on either side, the payload
+    crosses the wire exactly once):
+
+        wins   = slim.groupBy(keys).agg(max(struct(*order)))
+        merged = changes ⟕semi wins on (keys, *order)
+
+    REQUIREMENT: ``order`` must be unique per physical row within each
+    key (else the semi-join keeps several identical winners). The sink
+    guarantees this by extending the order with (xxhash64(source_file),
+    offset) — two fixed-width longs that differ across redeliveries of
+    the same event.
+
+    ``salt``/``hot_ids`` apply the explicit two-stage hot-key split to
+    the slim aggregate (cheap insurance; the payload join's skew is
+    additionally covered by AQE skew-join splitting).
+    """
+    keys = list(keys)
+    order = [c for c in order if c in changes.columns and c not in keys]
+
+    def slim_agg(df: DataFrame, group_cols: list[str]) -> DataFrame:
+        return df.groupBy(*group_cols).agg(F.max(F.struct(*[F.col(c) for c in order])).alias("_ord"))
+
+    slim = changes.select(*keys, *order)
+    if salt and hot_ids is not None:
+        is_hot = F.col(hot_col).isin(list(hot_ids))
+        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(salt)).cast("int")
+        hot1 = slim_agg(slim.filter(is_hot).withColumn(_SALT, salt_col), [*keys, _SALT]).drop(_SALT)
+        hot1 = hot1.select(*keys, *[F.col(f"_ord.{c}").alias(c) for c in order])
+        wins = slim_agg(slim.filter(~is_hot), keys).unionByName(
+            slim_agg(hot1, keys)
+        )
+    else:
+        wins = slim_agg(slim, keys)
+    flat = wins.select(*keys, *[F.col(f"_ord.{c}").alias(c) for c in order]).hint("shuffle_hash")
+    return changes.join(flat, on=[*keys, *order], how="left_semi")
 
 
 def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFrame:

@@ -429,10 +429,7 @@ def dedup_exact(spark, sf_dir):
     return dd.dedup_exact(load(spark, sf_dir, "documents"))
 
 
-@_register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLE_CTE},
+_LSH_CTES = f"""{_SHINGLE_CTE},
     sigs AS (
       SELECT doc_id,
              {", ".join(f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(dd.N_MINHASH))}
@@ -443,16 +440,47 @@ def dedup_exact(spark, sf_dir):
           f"SELECT doc_id, {b} AS band_idx, md5(concat(mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
           for b in range(dd.N_BANDS)
       )}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_CTES}
+    SELECT doc_a, doc_b FROM lsh_pairs
     """,
     headline=True,
     tags="MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dd.dedup_minhash_lsh(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    und AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+            UNION SELECT doc_b, doc_a FROM lsh_pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    minr AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+    SELECT d.doc_id, least(d.doc_id, coalesce(minr.mv, d.doc_id)) AS survivor_id
+    FROM documents d LEFT JOIN minr ON minr.u = d.doc_id
+    """,
+    tags="near-dup survivor resolution: iterative connected components (min-label propagation) vs recursive-CTE closure oracle",
+)
+def dedup_survivors(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dd.dedup_survivors(docs, dd.dedup_minhash_lsh(docs))
 
 
 @_register(
@@ -528,13 +556,28 @@ def doc_fingerprints(spark, sf_dir):
     return d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+_SH_HEX = "0123456789abcdef"
+_SH_H = " + ".join(
+    f"(strpos('{_SH_HEX}', substr(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8)
+)
+_SH_BITS = 32
+
+
 @_register(
     "simhash_docs",
-    None,  # xxhash64 has no DuckDB twin — rows-only check
-    tags="SimHash 32-bit fingerprint via bitwise vote aggregation",
+    f"""
+    WITH toks AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS m FROM documents),
+    h AS (SELECT doc_id, CAST({_SH_H} AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id,
+      {", ".join(f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(_SH_BITS))}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({" + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS))} AS BIGINT) AS simhash
+    FROM votes
+    """,
+    tags="SimHash 32-bit fingerprint via bitwise vote aggregation (portable md5 hash for oracle parity)",
 )
 def simhash_docs(spark, sf_dir):
-    return dd.simhash(load(spark, sf_dir, "documents"))
+    return dd.simhash(load(spark, sf_dir, "documents"), portable_hash=True)
 
 
 @_register(
@@ -589,7 +632,7 @@ def ann_ivf_assign(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
     """,
     tags="embedding-cosine near-dup pairs",
 )
@@ -600,8 +643,69 @@ def embedding_neardup(spark, sf_dir):
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
-        .filter(F.col("cos") >= 0.8)
+        .filter(F.col("cos") >= 0.35)
     )
+
+
+@_register(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    probed AS (SELECT cid FROM cents, q
+               ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) DESC, cid
+               LIMIT 2),
+    assigned AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS rn
+        FROM embeddings e, cents c) WHERE rn = 1)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4) AS cos
+    FROM embeddings e
+    JOIN assigned a ON e.vec_id = a.vec_id AND a.cid IN (SELECT cid FROM probed), q
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+    tags="ANN IVF query: probe nearest clusters, exact search inside (nprobe/k pruning)",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
+
+
+_RP_PLANES = similarity.rp_hyperplanes(n_planes=8, dim=64, seed=7)
+
+
+def _planes_sql() -> str:
+    def arr(p):
+        return "[" + ", ".join(f"{x!r}" for x in p) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr(p)}) >= 0 "
+        f"THEN 1 ELSE 0 END) * {1 << i}"
+        for i, p in enumerate(_RP_PLANES)
+    )
+    return bits
+
+
+@_register(
+    "ann_lsh_neardup",
+    f"""
+    WITH sigs AS (SELECT vec_id, embedding, {_planes_sql()} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.25
+    """,
+    tags="ANN scale path: random-hyperplane LSH bucket equi-join + exact cosine verify",
+)
+def ann_lsh_neardup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.rp_lsh_neardup_pairs(emb, _RP_PLANES, threshold=0.25)
 
 
 # =====================================================================

@@ -48,8 +48,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from oec_etl_spark.operators.bucketing import hot_keys, with_bucket
-from oec_etl_spark.operators.lww import lww_reduce
+from oec_etl_spark.operators.bucketing import with_bucket
+from oec_etl_spark.operators.lww import lww_reduce, lww_reduce_hash
 from oec_etl_spark.schemas import (
     KEY_COLUMNS,
     META_BUCKET,
@@ -63,6 +63,8 @@ from oec_etl_spark.streaming.reconcile import conform, evolve_schema, payload_sc
 _ENVELOPE = ("seq", "op", "source_file", "offset")
 _TIE = "__tie"
 _FROM_BATCH = "__from_batch"
+_UF = "__uf"  # xxhash64(source_file) — fixed-width row uniquifier
+_UO = "__uo"  # delivery offset — fixed-width row uniquifier
 
 
 class ParquetSnapshotSink:
@@ -75,25 +77,32 @@ class ParquetSnapshotSink:
         n_buckets: int = 16,
         hot_key_threshold: float | None = 0.05,
         hot_key_salt: int = 8,
+        merge_strategy: str = "hash",
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.hot_key_threshold = hot_key_threshold
         self.hot_key_salt = hot_key_salt
+        self.merge_strategy = merge_strategy  # "hash" (slim-agg + winner join) | "sort" (max_by)
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     # ------------------------------------------------------------ state
     def _current_pointer(self) -> str:
         return os.path.join(self.root, "CURRENT")
 
-    def load_manifest(self) -> dict | None:
-        ptr = self._current_pointer()
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            version = json.load(f)["version"]
-        with open(os.path.join(self.root, "_manifests", f"manifest-{version:06d}.json")) as f:
+    def load_manifest(self, version: int | None = None) -> dict | None:
+        """Committed manifest; pass ``version`` for time travel."""
+        if version is None:
+            ptr = self._current_pointer()
+            if not os.path.exists(ptr):
+                return None
+            with open(ptr) as f:
+                version = json.load(f)["version"]
+        path = os.path.join(self.root, "_manifests", f"manifest-{version:06d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot version {version} under {self.root}")
+        with open(path) as f:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
@@ -111,6 +120,53 @@ class ParquetSnapshotSink:
         man = self.load_manifest()
         return T.StructType.fromJson(man["schema"]) if man else None
 
+    # ----------------------------------------------------- maintenance
+    def history(self) -> list[dict]:
+        """All committed snapshot versions with their lineage summary —
+        the analog of Iceberg's ``table.history()``/snapshots metadata."""
+        out = []
+        mdir = os.path.join(self.root, "_manifests")
+        for name in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, name)) as f:
+                man = json.load(f)
+            last = man["lineage"][-1] if man.get("lineage") else {}
+            out.append(
+                {
+                    "version": man["version"],
+                    "batch_id": last.get("batch_id"),
+                    "rows_applied": last.get("rows_applied"),
+                    "committed_at": last.get("committed_at"),
+                }
+            )
+        return out
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Snapshot expiry (Iceberg ``expireSnapshots`` analog): drop
+        manifests older than the newest ``keep_last`` and delete data
+        version-dirs no kept manifest references. Readers of kept
+        snapshots are unaffected (their files are all retained).
+        Returns the deleted paths."""
+        import shutil
+
+        mdir = os.path.join(self.root, "_manifests")
+        names = sorted(os.listdir(mdir))
+        keep, drop = names[-keep_last:], names[:-keep_last]
+        referenced: set[str] = set()
+        for name in keep:
+            with open(os.path.join(mdir, name)) as f:
+                referenced.update(json.load(f).get("buckets", {}).values())
+        deleted: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for vdir in sorted(os.listdir(data_root)):
+                if f"data/{vdir}" not in referenced:
+                    shutil.rmtree(os.path.join(data_root, vdir))
+                    deleted.append(f"data/{vdir}")
+        for name in drop:
+            os.remove(os.path.join(mdir, name))
+            deleted.append(f"_manifests/{name}")
+        return deleted
+
     # ------------------------------------------------------------- read
     def _bucket_paths(self, man: dict, buckets: list[int] | None = None) -> list[str]:
         out = []
@@ -119,9 +175,12 @@ class ParquetSnapshotSink:
                 out.append(os.path.join(self.root, vdir, f"{META_BUCKET}={int(b)}"))
         return out
 
-    def read_table(self) -> DataFrame:
-        """Current committed snapshot: live rows, payload columns only."""
-        man = self.load_manifest()
+    def read_table(self, version: int | None = None) -> DataFrame:
+        """Committed snapshot: live rows, payload columns only.
+        ``version`` reads an older snapshot (time travel) — readers are
+        isolated because data files are immutable and manifests are
+        only ever added."""
+        man = self.load_manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         schema = T.StructType.fromJson(man["schema"])
@@ -173,43 +232,52 @@ class ParquetSnapshotSink:
         target = T.StructType.fromJson(man["schema"]) if man["schema"] else inc
         evolved = evolve_schema(target, inc)
         payload_cols = [f.name for f in evolved.fields]
-        c = conform(changes, evolved, keep=("seq", "op", "source_file"))
+        c = conform(changes, evolved, keep=("seq", "op", "source_file", "offset"))
+        if "source_file" not in c.columns:  # optional lineage columns
+            c = c.withColumn("source_file", F.lit(None).cast("string"))
+        if "offset" not in c.columns:
+            c = c.withColumn("offset", F.lit(None).cast("long"))
 
-        # -- hot-key frequency sketch → explicit salting (north rule) ----
-        # One cheap partial-agg pass over the batch; a conversation
-        # holding > threshold of the batch's rows flips the reduce to
-        # the two-stage salted form and is recorded in lineage.
-        salt = None
-        if self.hot_key_threshold is not None:
-            hot = hot_keys(c, self.hot_key_threshold).collect()
-            if hot:
-                salt = self.hot_key_salt
-                rec.salted = True
-                rec.hot_keys = [r.asDict() for r in hot]
+        cb = with_bucket(c, self.n_buckets)
 
-        # -- batch winners (map-side-combining LWW reduce) ---------------
-        obs = Observation()
-        c = c.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.min("seq").alias("seq_min"),
-            F.max("seq").alias("seq_max"),
-            F.collect_set("source_file").alias("files"),
-        )
-        kw = lww_reduce(with_bucket(c, self.n_buckets), salt=salt).drop("source_file")
-        kw = kw.withColumn(_FROM_BATCH, F.lit(True)).withColumn(_TIE, F.lit(0)).cache()
-        per_bucket = kw.groupBy(META_BUCKET).agg(
-            F.max("seq").alias("wm"), F.count(F.lit(1)).alias("keys")
+        # -- job A: payload-free batch statistics -------------------------
+        # One key-level partial aggregate (no text column → tiny) yields
+        # per-bucket row/key counts + seq range (the affected-bucket set
+        # and watermarks) AND the hot-key frequency sketch (north rule:
+        # explicit salting for hot conversations) — replacing what used
+        # to be three separate full-payload passes over the batch.
+        bc = cb.groupBy(META_BUCKET, *KEY_COLUMNS).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("seq").alias("lo"),
+            F.max("seq").alias("hi"),
+        ).cache()
+        per_bucket = bc.groupBy(META_BUCKET).agg(
+            F.sum("cnt").alias("rows"),
+            F.count(F.lit(1)).alias("keys"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("wm"),
         ).collect()
-
-        bstats = obs.get
-        rec.rows_in_batch = int(bstats["rows"] or 0)
-        rec.seq_min = int(bstats["seq_min"]) if bstats["seq_min"] is not None else None
-        rec.seq_max = int(bstats["seq_max"]) if bstats["seq_max"] is not None else None
-        rec.source_files = sorted(bstats["files"] or [])
+        rec.rows_in_batch = int(sum(r["rows"] for r in per_bucket))
         rec.distinct_keys = int(sum(r["keys"] for r in per_bucket))
+        rec.seq_min = int(min(r["lo"] for r in per_bucket)) if per_bucket else None
+        rec.seq_max = int(max(r["wm"] for r in per_bucket)) if per_bucket else None
         affected = sorted(int(r[META_BUCKET]) for r in per_bucket)
         rec.affected_buckets = affected
+
+        salt, hot_ids = None, None
+        if self.hot_key_threshold is not None and rec.rows_in_batch:
+            thr = self.hot_key_threshold * rec.rows_in_batch
+            hot = (
+                bc.groupBy("conv_id").agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > thr)
+                .select("conv_id", "cnt", F.round(F.col("cnt") / F.lit(rec.rows_in_batch), 6).alias("frac"))
+                .collect()
+            )
+            if hot:
+                salt, hot_ids = self.hot_key_salt, [r["conv_id"] for r in hot]
+                rec.salted = True
+                rec.hot_keys = [r.asDict() for r in hot]
+        bc.unpersist()
 
         if not affected:  # empty batch: still commit the epoch guard
             man["version"] += 1
@@ -219,14 +287,41 @@ class ParquetSnapshotSink:
             rec.wall_sec = time.time() - t0
             man["lineage"].append(rec.to_dict())
             self._commit(man)
-            kw.unpersist()
             return rec
 
-        # -- merge: (stored ∪ batch winners) → LWW → new bucket files ----
-        old = self._read_stored_as_changes(man, evolved, affected)
-        cols = [*KEY_COLUMNS, *[c_ for c_ in payload_cols if c_ not in KEY_COLUMNS], "op", "seq", _FROM_BATCH, _TIE, META_BUCKET]
-        union = kw.select(*cols).unionByName(old.select(*cols))
-        merged = lww_reduce(union, order=("ts", "seq", _TIE))
+        # -- job B: single-pass merge (batch ∪ stored) → LWW → write -----
+        # The LWW reduce is associative, so reducing the raw batch
+        # together with the stored rows in ONE aggregate is equivalent
+        # to batch-winners-then-merge — and saves a full payload shuffle
+        # plus a multi-GB .cache() of the winners.
+        # source-file lineage: a single dictionary-encoded column scan
+        # (an Observation can't sit here — the hash-path reduce consumes
+        # the batch twice, and Spark forbids re-executing observe nodes)
+        rec.source_files = sorted(
+            r[0] for r in cb.select("source_file").distinct().collect() if r[0] is not None
+        )
+        batch_side = (
+            cb.withColumn(_FROM_BATCH, F.lit(True))
+            .withColumn(_TIE, F.lit(0))
+            # Row-unique fixed-width tiebreaks: redeliveries of the same
+            # event differ in (segment file, offset), so the hash-path
+            # reduce's winner join matches exactly one physical row.
+            .withColumn(_UF, F.xxhash64(F.coalesce(F.col("source_file"), F.lit(""))))
+            .withColumn(_UO, F.coalesce(F.col("offset"), F.lit(0)))
+        )
+        old = (
+            self._read_stored_as_changes(man, evolved, affected)
+            .withColumn(_UF, F.lit(0).cast("long"))
+            .withColumn(_UO, F.lit(0).cast("long"))
+        )
+        cols = [*KEY_COLUMNS, *[c_ for c_ in payload_cols if c_ not in KEY_COLUMNS], "op", "seq", _FROM_BATCH, _TIE, _UF, _UO, META_BUCKET]
+        union = batch_side.select(*cols).unionByName(old.select(*cols))
+        if self.merge_strategy == "hash":
+            merged = lww_reduce_hash(
+                union, order=("ts", "seq", _TIE, _UF, _UO), salt=salt, hot_ids=hot_ids
+            )
+        else:
+            merged = lww_reduce(union, order=("ts", "seq", _TIE), salt=salt, hot_ids=hot_ids)
 
         obs2 = Observation()
         merged = merged.observe(
@@ -271,7 +366,6 @@ class ParquetSnapshotSink:
         rec.wall_sec = time.time() - t0
         man["lineage"].append(rec.to_dict())
         self._commit(man)
-        kw.unpersist()
         return rec
 
 

@@ -215,6 +215,97 @@ def test_salted_reduce_equals_plain(spark, tmp_path):
     _assert_table_equal(lww_reduce(df, salt=8), lww_reduce(df))
 
 
+def test_iceberg_sink_raises_clearly_without_runtime(spark):
+    """The Iceberg sink must fail loudly (not silently fake) when no
+    Iceberg runtime jar / SQL extensions are on the classpath."""
+    from oec_etl_spark.streaming.sink import IcebergMergeSink
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        IcebergMergeSink(spark, "cat.db.transcripts")
+
+
+def test_time_travel_history_and_expiry(spark, tmp_path):
+    """Snapshot isolation surface: read an older version (time travel),
+    list history, expire old snapshots without disturbing the current
+    reader — then time travel to an expired version fails cleanly."""
+    _gen(tmp_path, seed=30, n_conversations=40, n_segments=4)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    hist = sink.history()
+    assert len(hist) >= 4 and [h["version"] for h in hist] == sorted(h["version"] for h in hist)
+    v_old = hist[0]["version"]
+    old_rows = sink.read_table(version=v_old).count()
+    cur_rows = sink.read_table().count()
+    assert 0 < old_rows <= cur_rows
+    deleted = sink.expire_snapshots(keep_last=1)
+    assert deleted
+    assert sink.read_table().count() == cur_rows  # current snapshot intact
+    with pytest.raises(FileNotFoundError):
+        sink.read_table(version=v_old)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_type_widening_across_batches(spark, tmp_path):
+    """A later batch delivering a widened type (float→double on a new
+    measure column) must widen the target schema losslessly; rows from
+    before the column existed read as NULL."""
+    from pyspark.sql import functions as F
+
+    def batch(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    base = "seq long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp"
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), 4)
+    sink.merge(batch([(1, "I", "c1", 0, "user", "a", t)], base), batch_id=0)
+    sink.merge(
+        batch([(2, "I", "c2", 0, "user", "b", t, 1.5)], base + ", score float"), batch_id=1
+    )
+    sink.merge(
+        batch([(3, "I", "c3", 0, "user", "c", t, 2.5)], base + ", score double"), batch_id=2
+    )
+    out = sink.read_table()
+    assert dict(out.dtypes)["score"] == "double"
+    got = {r["conv_id"]: r["score"] for r in out.collect()}
+    assert got == {"c1": None, "c2": 1.5, "c3": 2.5}
+
+
+def test_incompatible_type_change_raises(spark, tmp_path):
+    from oec_etl_spark.streaming.reconcile import SchemaConflict
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    base = "seq long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp"
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), 4)
+    sink.merge(spark.createDataFrame([(1, "I", "c1", 0, "u", "a", t, 1.5)], base + ", score double"), batch_id=0)
+    with pytest.raises(SchemaConflict):
+        sink.merge(
+            spark.createDataFrame([(2, "I", "c2", 0, "u", "b", t, "oops")], base + ", score string"),
+            batch_id=1,
+        )
+
+
+def test_json_changelog_format(spark, tmp_path):
+    """ndjson binlog segments (Debezium-style wire format) replay to
+    the same table as the parquet twin of the identical event stream."""
+    _gen(tmp_path, seed=29, n_conversations=40, n_segments=3, file_format="json")
+    cfg = _engine_cfg(tmp_path, format="json")
+    replay_batch(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    got = sink.read_table()
+    twin = GeneratorConfig(out_dir=str(tmp_path / "twin"), seed=29, n_conversations=40, n_segments=3)
+    generate_changelog(twin)
+    oracle = _oracle(spark, twin.out_dir).drop("ts")  # json ts is µs-lossless but tz-naive
+    _assert_table_equal(got.drop("ts"), oracle)
+    # ts round-trips to the microsecond through the ndjson path
+    a = {(r["conv_id"], r["turn_idx"]): r["ts"] for r in got.collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["ts"] for r in _oracle(spark, twin.out_dir).collect()}
+    assert a == b
+
+
 def test_lineage_counters(spark, tmp_path):
     _gen(tmp_path, seed=26, n_conversations=50, n_segments=4)
     cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
