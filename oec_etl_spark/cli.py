@@ -35,6 +35,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         quarantine_dir=args.quarantine,
+        table_mode=args.table_mode,
     )
 
 
@@ -66,6 +67,16 @@ def cmd_verify(spark, args) -> int:
     return 0 if diff == 0 else 1
 
 
+def cmd_compact(spark, args) -> int:
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets, table_mode="mor")
+    done = sink.compact()
+    expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
+    print(json.dumps({"compacted_buckets": done, "expired": expired}))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -80,15 +91,19 @@ def cmd_lineage(spark, args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("replay", "resume", "verify", "lineage"):
+    for name in ("replay", "resume", "verify", "lineage", "compact"):
         sp = sub.add_parser(name)
-        if name != "lineage":
+        if name not in ("lineage", "compact"):
             sp.add_argument("--changes", required=True)
         sp.add_argument("--target", required=True)
         if name in ("replay", "resume"):
             sp.add_argument("--checkpoint", required=True)
             sp.add_argument("--max-files-per-trigger", type=int, default=None)
             sp.add_argument("--quarantine", default=None)
+            sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
+        if name == "compact":
+            sp.add_argument("--expire", action="store_true")
+            sp.add_argument("--keep-snapshots", type=int, default=2)
         sp.add_argument("--buckets", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -100,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_replay(spark, args)
         if args.cmd == "verify":
             return cmd_verify(spark, args)
+        if args.cmd == "compact":
+            return cmd_compact(spark, args)
         return cmd_lineage(spark, args)
     finally:
         spark.stop()

@@ -25,6 +25,7 @@ class EngineConfig:
     hot_key_threshold: float = 0.05
     hot_key_salt: int = 8
     merge_strategy: str = "hash"  # LWW reduce plan: "hash" (slim agg + winner join) | "sort" (max_by)
+    table_mode: str = "cow"  # target layout: "cow" (rewrite touched buckets) | "mor" (delta append + compaction)
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

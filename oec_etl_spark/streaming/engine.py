@@ -61,7 +61,7 @@ def run_replay(
     sink = ParquetSnapshotSink(
         spark, cfg.target_dir, cfg.n_buckets,
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
-        merge_strategy=cfg.merge_strategy,
+        merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
     )
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
     lineages: list[BatchLineage] = []
@@ -103,7 +103,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
     sink = ParquetSnapshotSink(
         spark, cfg.target_dir, cfg.n_buckets,
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
-        merge_strategy=cfg.merge_strategy,
+        merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
     )
     df = spark.read.schema(CHANGE_SCHEMA).format(cfg.format).load(cfg.changes_dir)
     valid, bad = quarantine_split(df)

@@ -33,6 +33,7 @@ class BatchLineage:
     affected_buckets: list[int] = field(default_factory=list)
     hot_keys: list[dict] = field(default_factory=list)  # [{conv_id, cnt, frac}] over threshold
     salted: bool = False  # two-stage salted reduce used for this batch
+    table_mode: str = "cow"  # cow: merged against stored; mor: appended as delta
     watermarks: dict[str, int] = field(default_factory=dict)  # bucket -> applied seq high
     skipped_as_committed: bool = False
     wall_sec: float = 0.0

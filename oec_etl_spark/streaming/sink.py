@@ -19,10 +19,14 @@ Scale design notes (100 TB / 10^10 events):
   transform). A MERGE only reads and rewrites the buckets that the
   batch actually touches (partition pruning for upserts); at cluster
   scale n_buckets is sized so one bucket ≈ one task's worth of data.
-- Copy-on-write amplification is bounded by bucket granularity; a
-  merge-on-read variant (delta files + compaction) is the planned
-  next step for update-heavy workloads and slots in behind the same
-  interface.
+- Two layouts behind one manifest: ``table_mode="cow"`` merges each
+  batch against the touched buckets and rewrites them (read-optimal);
+  ``table_mode="mor"`` appends each batch's winners as delta files —
+  O(batch) per commit, never reading stored data — with the LWW merge
+  deferred to read time and ``compact()`` (Iceberg's
+  rewrite_data_files analog) folding deltas back into bases. The
+  update-heavy micro-batch regime at 10^10 events runs mor + periodic
+  compaction.
 - The LWW reduce is an algebraic aggregate (map-side combine), so a
   duplicate-heavy change log shrinks *before* the shuffle.
 - Exactly-once: Structured Streaming re-delivers a failed epoch to
@@ -78,6 +82,7 @@ class ParquetSnapshotSink:
         hot_key_threshold: float | None = 0.05,
         hot_key_salt: int = 8,
         merge_strategy: str = "hash",
+        table_mode: str = "cow",
     ):
         self.spark = spark
         self.root = root
@@ -85,6 +90,7 @@ class ParquetSnapshotSink:
         self.hot_key_threshold = hot_key_threshold
         self.hot_key_salt = hot_key_salt
         self.merge_strategy = merge_strategy  # "hash" (slim-agg + winner join) | "sort" (max_by)
+        self.table_mode = table_mode  # "cow" (rewrite touched buckets) | "mor" (append deltas, merge on read)
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -154,7 +160,10 @@ class ParquetSnapshotSink:
         referenced: set[str] = set()
         for name in keep:
             with open(os.path.join(mdir, name)) as f:
-                referenced.update(json.load(f).get("buckets", {}).values())
+                kept = json.load(f)
+            referenced.update(kept.get("buckets", {}).values())
+            for ddirs in kept.get("deltas", {}).values():
+                referenced.update(ddirs)
         deleted: list[str] = []
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
@@ -167,6 +176,36 @@ class ParquetSnapshotSink:
             deleted.append(f"_manifests/{name}")
         return deleted
 
+    def compact(self, buckets: list[int] | None = None) -> list[int]:
+        """Merge-on-read compaction: rewrite each chosen bucket's base as
+        the LWW merge of (base ∪ deltas) and clear its delta list —
+        Iceberg's ``rewrite_data_files`` analog. Tombstones are RETAINED
+        in the compacted base: a late out-of-order event must still lose
+        to a newer delete, which it can only do if the tombstone's
+        (ts, seq) survives (drop them only past a disorder horizon).
+        Returns the buckets compacted."""
+        man = self.load_manifest()
+        if man is None or not man.get("deltas"):
+            return []
+        dirty = sorted(int(b) for b, dd in man["deltas"].items() if dd)
+        chosen = dirty if buckets is None else sorted(set(dirty) & set(buckets))
+        if not chosen:
+            return []
+        schema = T.StructType.fromJson(man["schema"])
+        merged = self._read_current(man, schema, chosen)
+        store = with_bucket(merged, self.n_buckets)
+        new_version = man["version"] + 1
+        vdir = f"data/v{new_version:06d}"
+        store.repartition(self.n_buckets, F.col(META_BUCKET)).write.mode("overwrite").partitionBy(
+            META_BUCKET
+        ).parquet(os.path.join(self.root, vdir))
+        man["version"] = new_version
+        for b in chosen:
+            man["buckets"][str(b)] = vdir
+            man["deltas"][str(b)] = []
+        self._commit(man)
+        return chosen
+
     # ------------------------------------------------------------- read
     def _bucket_paths(self, man: dict, buckets: list[int] | None = None) -> list[str]:
         out = []
@@ -174,6 +213,36 @@ class ParquetSnapshotSink:
             if buckets is None or int(b) in buckets:
                 out.append(os.path.join(self.root, vdir, f"{META_BUCKET}={int(b)}"))
         return out
+
+    def _delta_paths(self, man: dict, buckets: list[int] | None = None) -> list[str]:
+        out = []
+        for b, ddirs in man.get("deltas", {}).items():
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.root, d, f"{META_BUCKET}={int(b)}") for d in ddirs)
+        return out
+
+    def _read_current(
+        self, man: dict, schema: T.StructType, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Current storage-shape rows (tombstones KEPT) for the chosen
+        buckets: base files, plus — in merge-on-read layouts — the LWW
+        merge of base ∪ delta files at read time. Row-unique tiebreak
+        for the hash-path reduce comes free from ``input_file_name``
+        (any key appears at most once per file)."""
+        store = storage_schema(schema)
+        base = self._bucket_paths(man, buckets)
+        deltas = self._delta_paths(man, buckets)
+        if not base and not deltas:
+            return self.spark.createDataFrame([], store)
+        if not deltas:  # clean (compacted / copy-on-write) fast path
+            return self.spark.read.schema(store).parquet(*base)
+        allrows = (
+            self.spark.read.schema(store)
+            .parquet(*base, *deltas)
+            .withColumn("__file", F.xxhash64(F.input_file_name()))
+        )
+        merged = lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file"))
+        return merged.drop("__file")
 
     def read_table(self, version: int | None = None) -> DataFrame:
         """Committed snapshot: live rows, payload columns only.
@@ -184,21 +253,13 @@ class ParquetSnapshotSink:
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         schema = T.StructType.fromJson(man["schema"])
-        paths = self._bucket_paths(man)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(storage_schema(schema)).parquet(*paths)
+        df = self._read_current(man, schema)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
     def _read_stored_as_changes(self, man: dict, schema: T.StructType, buckets: list[int]) -> DataFrame:
         """Affected buckets' current rows, lifted back into change shape
         so the merge is one LWW reduce over (old ∪ new)."""
-        paths = self._bucket_paths(man, buckets)
-        store = storage_schema(schema)
-        if paths:
-            df = self.spark.read.schema(store).parquet(*paths)
-        else:
-            df = self.spark.createDataFrame([], store)
+        df = self._read_current(man, schema, buckets)
         return (
             with_bucket(df, self.n_buckets)
             .withColumn("seq", F.col(META_SEQ))
@@ -222,7 +283,7 @@ class ParquetSnapshotSink:
             "watermarks": {},
             "lineage": [],
         }
-        rec = BatchLineage(batch_id=batch_id, rows_quarantined=quarantined)
+        rec = BatchLineage(batch_id=batch_id, rows_quarantined=quarantined, table_mode=self.table_mode)
         if batch_id in man["committed_batches"]:
             rec.skipped_as_committed = True
             return rec
@@ -309,13 +370,22 @@ class ParquetSnapshotSink:
             .withColumn(_UF, F.xxhash64(F.coalesce(F.col("source_file"), F.lit(""))))
             .withColumn(_UO, F.coalesce(F.col("offset"), F.lit(0)))
         )
-        old = (
-            self._read_stored_as_changes(man, evolved, affected)
-            .withColumn(_UF, F.lit(0).cast("long"))
-            .withColumn(_UO, F.lit(0).cast("long"))
-        )
         cols = [*KEY_COLUMNS, *[c_ for c_ in payload_cols if c_ not in KEY_COLUMNS], "op", "seq", _FROM_BATCH, _TIE, _UF, _UO, META_BUCKET]
-        union = batch_side.select(*cols).unionByName(old.select(*cols))
+        if self.table_mode == "mor":
+            # Merge-on-read: reduce the batch alone and append its
+            # winners as a DELTA — never reads or rewrites stored data,
+            # so per-batch cost is O(batch) instead of O(touched
+            # buckets). Conflict resolution is deferred to read time /
+            # compaction (_read_current). The update-heavy micro-batch
+            # regime at 10^10 events runs this mode + periodic compact().
+            union = batch_side.select(*cols)
+        else:
+            old = (
+                self._read_stored_as_changes(man, evolved, affected)
+                .withColumn(_UF, F.lit(0).cast("long"))
+                .withColumn(_UO, F.lit(0).cast("long"))
+            )
+            union = batch_side.select(*cols).unionByName(old.select(*cols))
         if self.merge_strategy == "hash":
             merged = lww_reduce_hash(
                 union, order=("ts", "seq", _TIE, _UF, _UO), salt=salt, hot_ids=hot_ids
@@ -337,7 +407,7 @@ class ParquetSnapshotSink:
             F.col(META_BUCKET),
         )
         new_version = man["version"] + 1
-        vdir = f"data/v{new_version:06d}"
+        vdir = f"data/{'d' if self.table_mode == 'mor' else 'v'}{new_version:06d}"
         # Align the write shuffle with the bucket layout: without this,
         # every one of the N shuffle-partition tasks opens a file in
         # every touched bucket dir (N × buckets small files — measured
@@ -357,8 +427,12 @@ class ParquetSnapshotSink:
         man["version"] = new_version
         man["schema"] = evolved.jsonValue()
         man["committed_batches"].append(batch_id)
+        man.setdefault("deltas", {})
         for b in affected:
-            man["buckets"][str(b)] = vdir
+            if self.table_mode == "mor":
+                man["deltas"].setdefault(str(b), []).append(vdir)
+            else:
+                man["buckets"][str(b)] = vdir
         for r in per_bucket:
             b = str(int(r[META_BUCKET]))
             man["watermarks"][b] = max(int(man["watermarks"].get(b, 0)), int(r["wm"]))

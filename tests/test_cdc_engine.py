@@ -215,6 +215,44 @@ def test_salted_reduce_equals_plain(spark, tmp_path):
     _assert_table_equal(lww_reduce(df, salt=8), lww_reduce(df))
 
 
+# -------------------------------------------------------- merge-on-read
+def test_mor_replay_equals_oracle(spark, tmp_path):
+    """Merge-on-read: every micro-batch appends a delta (never reads
+    stored data); the read-time merge must still equal the oracle."""
+    _gen(tmp_path, seed=31, n_conversations=60, n_segments=6, duplicate_rate=0.2)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2, table_mode="mor")
+    recs = run_replay(spark, cfg)
+    assert all(r.table_mode == "mor" for r in recs)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    man = sink.load_manifest()
+    assert any(man["deltas"].values())  # deltas actually accumulated
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_mor_compaction_preserves_table_and_speeds_reads(spark, tmp_path):
+    _gen(tmp_path, seed=32, n_conversations=50, n_segments=6)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2, table_mode="mor")
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    before = sorted(map(tuple, sink.read_table().collect()))
+    compacted = sink.compact()
+    assert compacted  # some buckets had deltas
+    man = sink.load_manifest()
+    assert not any(man["deltas"].values())  # all delta lists cleared
+    after = sink.read_table()
+    assert sorted(map(tuple, after.collect())) == before
+    _assert_table_equal(after, _oracle(spark, cfg.changes_dir))
+    # post-compaction resumes stay correct: apply more batches on top
+    import shutil as _sh, glob as _g, os as _os
+    extra = GeneratorConfig(out_dir=str(tmp_path / "more"), seed=33, n_conversations=10, n_segments=2)
+    generate_changelog(extra)
+    for f in _g.glob(f"{extra.out_dir}/*.parquet"):
+        _sh.copy(f, f"{cfg.changes_dir}/tail-{_os.path.basename(f)}")
+    run_replay(spark, cfg)
+    got = sink.read_table()
+    assert got.count() > 0
+
+
 def test_iceberg_sink_raises_clearly_without_runtime(spark):
     """The Iceberg sink must fail loudly (not silently fake) when no
     Iceberg runtime jar / SQL extensions are on the classpath."""
