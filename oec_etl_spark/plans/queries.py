@@ -328,6 +328,84 @@ def events_clean_recode(spark, sf_dir):
 
 
 # =====================================================================
+# Tesseract-style OLAP drilldown/cut surface (ref README.md:67-74)
+# =====================================================================
+
+def _trade_cube():
+    from oec_etl_spark.plans.olap import CubeDef, Level
+
+    return CubeDef(
+        fact="lineitem",
+        levels={
+            "Order": Level("orders", "l_orderkey", "o_orderkey", "o_orderkey"),
+            "Customer": Level("customer", "o_custkey", "c_custkey", "c_name", via="Order"),
+            "Segment": Level(None, "", None, "c_mktsegment", via="Customer"),
+            "Nation": Level("nation", "c_nationkey", "n_nationkey", "n_name", via="Customer"),
+            "Region": Level("region", "n_regionkey", "r_regionkey", "r_name", via="Nation"),
+            "Year": Level(None, "", None, "o_year", via="Order", expr="year(o_orderdate)"),
+            "Brand": Level("part", "l_partkey", "p_partkey", "p_brand"),
+        },
+        measures={
+            "trade_value": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
+            "quantity": F.round(F.sum("l_quantity"), 2),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+
+
+@_register(
+    "olap_nation_year_drilldown",
+    """
+    SELECT n_name AS Nation, CAST(year(o_orderdate) AS INT) AS Year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS trade_value,
+           round(sum(l_quantity), 2) AS quantity
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY 1, 2
+    """,
+    tags="tesseract query shape: ?drilldowns=Nation,Year&measures=...&Region=AMERICA (ref README.md:67-74)",
+)
+def olap_nation_year_drilldown(spark, sf_dir):
+    from oec_etl_spark.plans.olap import drilldown
+
+    out = drilldown(
+        spark, sf_dir, _trade_cube(),
+        drilldowns=["Nation", "Year"], measures=["trade_value", "quantity"],
+        cuts={"Region": "AMERICA"},
+    )
+    return out.withColumn("Year", F.col("Year").cast("int"))
+
+
+@_register(
+    "olap_brand_cut",
+    """
+    SELECT p_brand AS Brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS trade_value,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE year(o_orderdate) = 1996 AND c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+    tags="tesseract query shape: ?drilldowns=Brand&Year=1996&Segment=BUILDING",
+)
+def olap_brand_cut(spark, sf_dir):
+    from oec_etl_spark.plans.olap import drilldown
+
+    return drilldown(
+        spark, sf_dir, _trade_cube(),
+        drilldowns=["Brand"], measures=["trade_value", "n_rows"],
+        cuts={"Year": 1996, "Segment": "BUILDING"},
+    )
+
+
+# =====================================================================
 # CDC semantics over the shared tables (oracle-checkable LWW/windows)
 # =====================================================================
 
