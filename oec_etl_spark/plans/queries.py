@@ -479,6 +479,54 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@_register(
+    "events_json_percentiles",
+    """
+    SELECT CAST(CAST(props->>'$.k' AS INT) % 10 AS INT) AS kmod,
+           count(*) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90
+    FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+    GROUP BY 1
+    """,
+    tags="JSON envelope parse (from_json w/ schema) + exact interpolated percentiles",
+)
+def events_json_percentiles(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+        .withColumn("p", F.from_json("props", "k int"))
+        .groupBy((F.col("p.k") % 10).cast("int").alias("kmod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        )
+    )
+
+
+@_register(
+    "doc_array_functions",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           list_sort(string_split(text, ' '))[1] AS first_token
+    FROM documents
+    """,
+    tags="array functions: split/size/distinct/sort (SURVEY §2.4 scalar-function row)",
+)
+def doc_array_functions(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_sort(toks).getItem(0).alias("first_token"),
+    )
+
+
 # =====================================================================
 # Training-data pipeline: dedup / text analysis / similarity
 # =====================================================================

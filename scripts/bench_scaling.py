@@ -46,6 +46,11 @@ def run_at(cpus: int, sf_dir: str, reps: int = REPS) -> dict:
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "BENCH_MODE": "cdc",
             "BENCH_CDC_CONV": str(N_CONV),
+            # Per-core-constant heap (2 GB/core): on a real N→4N cluster
+            # every executor brings its own memory, so per-core memory
+            # is invariant across cluster sizes; a fixed total heap
+            # would starve the high-core config and flatter the low one.
+            "SPARK_DRIVER_MEM": f"{max(4, 2 * cpus)}g",
         }
         # Pin the JVM to exactly `cpus` hardware threads: local[N] on an
         # unrestricted 32-core host would still use idle cores for GC,

@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the LWW reduction invariants
+the exactly-once story rests on (SURVEY.md §7.3 R2): for ANY event
+multiset, the reduce must be idempotent, delivery-order-insensitive,
+duplication-insensitive, and strategy-agnostic (sort path == hash path
+== salted path == trivial Python oracle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oec_etl_spark.operators.lww import lww_reduce, lww_reduce_hash
+
+SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, seq long, offset long, op string, text string"
+)
+
+_event = st.tuples(
+    st.sampled_from(["c0", "c1", "c2"]),  # conv_id — few keys to force collisions
+    st.integers(0, 2),  # turn_idx
+    st.integers(0, 5),  # ts bucket — small range to force LWW ties
+    st.integers(1, 50),  # seq
+    st.sampled_from(["I", "U", "D"]),
+    st.text(alphabet="ab", min_size=0, max_size=3),
+)
+
+
+def _rows(events):
+    # offset = delivery position: the row-unique tiebreak the sink would add
+    return [
+        (c, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), seq, i, op, txt)
+        for i, (c, t, ts, seq, op, txt) in enumerate(events)
+    ]
+
+
+def _python_oracle(events):
+    """Trivially-correct reduction: per key keep the row with max
+    (ts, seq, offset)."""
+    best = {}
+    for i, (c, t, ts, seq, op, txt) in enumerate(events):
+        k, o = (c, t), (ts, seq, i)
+        if k not in best or o > best[k][0]:
+            best[k] = (o, (c, t, ts, seq, op, txt))
+    return sorted(v for _, v in best.values())
+
+
+def _canon(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, int((r.ts - dt.datetime(2024, 1, 1)).total_seconds()), r.seq, r.op, r.text)
+        for r in df.collect()
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_event, min_size=1, max_size=30))
+def test_all_strategies_agree_with_python_oracle(spark, events):
+    df = spark.createDataFrame(_rows(events), SCHEMA)
+    order = ("ts", "seq", "offset")
+    expect = _python_oracle(events)
+    assert _canon(lww_reduce(df, order=order)) == expect
+    assert _canon(lww_reduce_hash(df, order=order)) == expect
+    assert _canon(lww_reduce(df, order=order, salt=4)) == expect
+    assert (
+        _canon(lww_reduce_hash(df, order=order, salt=4, hot_ids=["c0", "c1"])) == expect
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_event, min_size=1, max_size=20), st.randoms())
+def test_duplication_and_order_insensitive(spark, events, rng):
+    """Semilattice: shuffling delivery order and re-delivering a random
+    subset never changes the winners (offsets follow the new delivery —
+    they may tiebreak differently, but only among rows equal in
+    (ts, seq), and the payload of a re-delivered event is identical)."""
+    base = _rows(events)
+    dup = [base[rng.randrange(len(base))] for _ in range(3)]
+    shuffled = base + dup
+    rng.shuffle(shuffled)
+    # reassign offsets to the new delivery positions, keeping payloads
+    shuffled = [(c, t, ts, seq, i, op, txt) for i, (c, t, ts, seq, _, op, txt) in enumerate(shuffled)]
+    a = lww_reduce_hash(spark.createDataFrame(base, SCHEMA), order=("ts", "seq", "offset"))
+    b = lww_reduce_hash(spark.createDataFrame(shuffled, SCHEMA), order=("ts", "seq", "offset"))
+    drop = ["offset"]  # delivery-dependent by construction
+    assert sorted(map(tuple, a.drop(*drop).collect())) == sorted(map(tuple, b.drop(*drop).collect()))
