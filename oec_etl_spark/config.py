@@ -26,6 +26,9 @@ class EngineConfig:
     hot_key_salt: int = 8
     merge_strategy: str = "hash"  # LWW reduce plan: "hash" (slim agg + winner join) | "sort" (max_by)
     table_mode: str = "cow"  # target layout: "cow" (rewrite touched buckets) | "mor" (delta append + compaction)
+    # mor only: compact a bucket inside the streaming loop once it has
+    # accumulated this many delta files (None = manual compact() only).
+    compact_after_deltas: int | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

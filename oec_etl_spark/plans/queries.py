@@ -962,6 +962,22 @@ def customer_nations_except_suppliers(spark, sf_dir):
 
 
 @_register(
+    "nations_with_both_roles",
+    """
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+    """,
+    tags="set op: INTERSECT (distinct intersection)",
+)
+def nations_with_both_roles(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_register(
     "token_stats",
     f"""
     SELECT doc_id,

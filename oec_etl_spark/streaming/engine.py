@@ -80,6 +80,20 @@ def run_replay(
         rec = sink.merge(valid, batch_id, quarantined=n_bad)
         lineages.append(rec)
         append_jsonl(lineage_path, rec.to_dict())
+        # mor housekeeping: fold a bucket's deltas into its base once the
+        # read-amplification bound is hit (Iceberg's rewrite_data_files
+        # on a trigger). Runs between commits — crash-safe because
+        # compaction is itself an atomic manifest swap and the epoch
+        # guard makes the next merge skip nothing.
+        if cfg.table_mode == "mor" and cfg.compact_after_deltas:
+            man = sink.load_manifest()
+            due = [
+                int(b)
+                for b, dd in (man or {}).get("deltas", {}).items()
+                if len(dd) >= cfg.compact_after_deltas
+            ]
+            if due:
+                sink.compact(due)
 
     reader = spark.readStream.schema(CHANGE_SCHEMA).format(cfg.format)
     if cfg.max_files_per_trigger:

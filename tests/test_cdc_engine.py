@@ -253,6 +253,20 @@ def test_mor_compaction_preserves_table_and_speeds_reads(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_mor_auto_compaction_in_stream(spark, tmp_path):
+    """compact_after_deltas triggers compaction inside the streaming
+    loop once a bucket accumulates that many deltas; final table still
+    equals the oracle and delta counts stay bounded."""
+    _gen(tmp_path, seed=34, n_conversations=60, n_segments=8)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after_deltas=3)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    man = sink.load_manifest()
+    assert all(len(dd) < 3 + 1 for dd in man["deltas"].values())  # bounded
+    assert man["buckets"]  # at least one compaction produced a base
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
 def test_iceberg_sink_raises_clearly_without_runtime(spark):
     """The Iceberg sink must fail loudly (not silently fake) when no
     Iceberg runtime jar / SQL extensions are on the classpath."""
