@@ -39,7 +39,9 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
     from oec_etl_spark.generate import GeneratorConfig, generate_changelog
     from oec_etl_spark.streaming.engine import replay_batch
 
-    n_conv = int(os.environ.get("BENCH_CDC_CONV", "0")) or max(200, int(600_000 * sf))
+    # ~4M delivered events at sf0.1: small enough to replay in ~30 s,
+    # large enough that fixed job costs don't dominate the events/sec.
+    n_conv = int(os.environ.get("BENCH_CDC_CONV", "0")) or max(200, int(3_200_000 * sf))
     gen = GeneratorConfig(
         out_dir=f"{workdir}/changes",
         seed=42,
