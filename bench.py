@@ -95,6 +95,9 @@ def main() -> None:
     from oec_etl_spark.plans.queries import REGISTRY, headline_names
     from oec_etl_spark.session import get_spark
 
+    # Bench-harness tuning (NOT a library default): spill to tmpfs so
+    # shuffle I/O measures the engine, not the sandbox's disk.
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = os.environ.get("BENCH_MODE", "all")
     sf = _sf_of(sf_dir)

@@ -36,6 +36,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         max_files_per_trigger=args.max_files_per_trigger,
         quarantine_dir=args.quarantine,
         table_mode=args.table_mode,
+        format=args.format,
     )
 
 
@@ -55,7 +56,9 @@ def cmd_verify(spark, args) -> int:
     from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
     table = ParquetSnapshotSink(spark, args.target, args.buckets).read_table()
-    raw = spark.read.schema(CHANGE_SCHEMA).parquet(f"{args.changes}/*.parquet")
+    # read via format().load() exactly as run_replay does, so a
+    # json-format change log verifies instead of reading zero files
+    raw = spark.read.schema(CHANGE_SCHEMA).format(args.format).load(args.changes)
     valid, _ = quarantine_split(raw)
     oracle = materialize(valid)
     cols = sorted(table.columns)
@@ -95,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(name)
         if name not in ("lineage", "compact"):
             sp.add_argument("--changes", required=True)
+            sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
         sp.add_argument("--target", required=True)
         if name in ("replay", "resume"):
             sp.add_argument("--checkpoint", required=True)

@@ -45,22 +45,33 @@ def asof_join(
     row with ``right[ts] <= left[ts]`` per ``on`` key (null when no
     such row). Output = all left columns + ``{c}{suffix}`` per carried
     column.
+
+    All carried columns travel as ONE struct through a single
+    ``last(ignorenulls=True)``: the struct is non-null whenever a right
+    row exists, so (a) a legitimately-NULL value on the latest right
+    row propagates as NULL instead of bleeding an older row's value
+    forward, and (b) every carried column comes from the SAME right
+    row — carrying columns independently could stitch together a row
+    that never existed. (Also one window expression instead of
+    len(right_cols).)
     """
     carried = [f"{c}{suffix}" for c in right_cols]
-    lhs = left.withColumn(_SIDE, F.lit(1)).select(
-        on, ts, _SIDE, *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(right_cols, carried)],
+    rhs = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    lhs = left.select(
+        F.col(on), F.col(ts), F.lit(1).alias(_SIDE),
+        F.lit(None).cast(rhs.schema["__r"].dataType).alias("__r"),
         F.struct(*left.columns).alias("__row"),
     )
-    rhs = right.withColumn(_SIDE, F.lit(0)).select(
-        on, ts, _SIDE, *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
-        F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
-    )
+    rhs = rhs.withColumn("__row", F.lit(None).cast(lhs.schema["__row"].dataType))
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = lhs.unionByName(rhs)
-    for a in carried:
-        unioned = unioned.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    return unioned.filter(F.col(_SIDE) == 1).select("__row.*", *carried)
+    unioned = lhs.unionByName(rhs).withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    return unioned.filter(F.col(_SIDE) == 1).select(
+        "__row.*", *[F.col(f"__r.{c}").alias(a) for c, a in zip(right_cols, carried)]
+    )

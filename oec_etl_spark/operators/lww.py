@@ -113,7 +113,14 @@ def lww_reduce_hash(
     key (else the semi-join keeps several identical winners). The sink
     guarantees this by extending the order with (xxhash64(source_file),
     offset) — two fixed-width longs that differ across redeliveries of
-    the same event.
+    the same event — and falls back to the sort strategy for batches
+    that lack those lineage columns (see ``ParquetSnapshotSink.merge``).
+
+    The winner join uses NULL-SAFE equality (``<=>``) on every key and
+    order column: the change schema declares ``ts`` nullable, and a
+    plain equality join would silently drop any key whose winning row
+    carries a NULL order value (NULL = NULL is never true), making the
+    hash and sort strategies disagree on schema-legal input.
 
     ``salt``/``hot_ids`` apply the explicit two-stage hot-key split to
     the slim aggregate (cheap insurance; the payload join's skew is
@@ -137,7 +144,12 @@ def lww_reduce_hash(
     else:
         wins = slim_agg(slim, keys)
     flat = wins.select(*keys, *[F.col(f"_ord.{c}").alias(c) for c in order]).hint("shuffle_hash")
-    return changes.join(flat, on=[*keys, *order], how="left_semi")
+    lhs, rhs = changes.alias("__lww_l"), flat.alias("__lww_r")
+    cond = None
+    for c in [*keys, *order]:
+        e = F.col(f"__lww_l.{c}").eqNullSafe(F.col(f"__lww_r.{c}"))
+        cond = e if cond is None else cond & e
+    return lhs.join(rhs, cond, "left_semi")
 
 
 def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFrame:

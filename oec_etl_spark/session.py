@@ -48,8 +48,15 @@ def get_spark(
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    # spark.local.dir is deliberately NOT defaulted: shuffle spill must
+    # land on the OS tmp dir (disk-backed) unless the operator opts into
+    # a faster device. The bench harness sets SPARK_LOCAL_DIRS=/dev/shm
+    # explicitly; baking a RAM-backed tmpfs into the library default
+    # would let a large merge exhaust host memory.
+    local_dirs = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dirs:
+        builder = builder.config("spark.local.dir", local_dirs)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

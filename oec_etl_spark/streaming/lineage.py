@@ -34,6 +34,9 @@ class BatchLineage:
     hot_keys: list[dict] = field(default_factory=list)  # [{conv_id, cnt, frac}] over threshold
     salted: bool = False  # two-stage salted reduce used for this batch
     table_mode: str = "cow"  # cow: merged against stored; mor: appended as delta
+    # LWW plan actually used: "hash" | "sort" (auto-falls back to sort
+    # when the batch lacks row-unique source_file/offset lineage)
+    merge_strategy: str | None = None
     watermarks: dict[str, int] = field(default_factory=dict)  # bucket -> applied seq high
     skipped_as_committed: bool = False
     wall_sec: float = 0.0

@@ -294,6 +294,7 @@ class ParquetSnapshotSink:
         evolved = evolve_schema(target, inc)
         payload_cols = [f.name for f in evolved.fields]
         c = conform(changes, evolved, keep=("seq", "op", "source_file", "offset"))
+        has_rowid_cols = "source_file" in c.columns and "offset" in c.columns
         if "source_file" not in c.columns:  # optional lineage columns
             c = c.withColumn("source_file", F.lit(None).cast("string"))
         if "offset" not in c.columns:
@@ -311,12 +312,16 @@ class ParquetSnapshotSink:
             F.count(F.lit(1)).alias("cnt"),
             F.min("seq").alias("lo"),
             F.max("seq").alias("hi"),
+            # rows whose lineage columns can't serve as a row-unique
+            # tiebreak (see strategy fallback below)
+            F.max((F.col("source_file").isNull() | F.col("offset").isNull()).cast("int")).alias("norid"),
         ).cache()
         per_bucket = bc.groupBy(META_BUCKET).agg(
             F.sum("cnt").alias("rows"),
             F.count(F.lit(1)).alias("keys"),
             F.min("lo").alias("lo"),
             F.max("hi").alias("wm"),
+            F.max("norid").alias("norid"),
         ).collect()
         rec.rows_in_batch = int(sum(r["rows"] for r in per_bucket))
         rec.distinct_keys = int(sum(r["keys"] for r in per_bucket))
@@ -386,7 +391,18 @@ class ParquetSnapshotSink:
                 .withColumn(_UO, F.lit(0).cast("long"))
             )
             union = batch_side.select(*cols).unionByName(old.select(*cols))
-        if self.merge_strategy == "hash":
+        # The hash strategy's winner semi-join needs a row-unique order
+        # tuple: redeliveries of one event must differ in (source_file,
+        # offset), else BOTH physical copies match the winner and the
+        # snapshot gets duplicate key rows. When the batch lacks those
+        # lineage columns (or any row has them null), fall back to the
+        # sort strategy — max_by collapses identical copies to one row
+        # regardless.
+        strategy = self.merge_strategy
+        if strategy == "hash" and (not has_rowid_cols or any(r["norid"] for r in per_bucket)):
+            strategy = "sort"
+        rec.merge_strategy = strategy
+        if strategy == "hash":
             merged = lww_reduce_hash(
                 union, order=("ts", "seq", _TIE, _UF, _UO), salt=salt, hot_ids=hot_ids
             )

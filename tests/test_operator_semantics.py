@@ -1,0 +1,99 @@
+"""Regression tests for operator edge-case semantics (round-2 ADVICE).
+
+1. A schema-legal change event with NULL ts must survive BOTH LWW
+   strategies (the hash path's winner join must be null-safe).
+2. At-least-once redeliveries of one event in a batch that lacks
+   source_file/offset lineage must still produce exactly one stored row
+   (sink falls back to the sort strategy).
+3. As-of join must carry ALL right columns from the SAME (latest) right
+   row, including legitimately-NULL values — never stitch columns from
+   different right rows.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import types as T
+
+from oec_etl_spark.operators.asof import asof_join
+from oec_etl_spark.operators.lww import lww_reduce, lww_reduce_hash
+from oec_etl_spark.schemas import CHANGE_SCHEMA, ENVELOPE_FIELDS, TRANSCRIPT_SCHEMA
+from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+
+def _ev(conv, turn, seq, op="I", ts=None, text="t", source_file="s0", offset=0):
+    return {
+        "seq": seq, "op": op, "conv_id": conv, "turn_idx": turn,
+        "role": "user", "text": text, "tool": None, "ts": ts,
+        "source_file": source_file, "offset": offset,
+    }
+
+
+def test_lww_strategies_agree_on_null_ts(spark):
+    rows = [
+        _ev("c1", 0, 1, ts=None, text="null-ts row"),  # the only event for its key
+        _ev("c2", 0, 2, ts=datetime(2024, 1, 1, tzinfo=timezone.utc), text="a"),
+        _ev("c2", 0, 3, ts=None, text="older null loses"),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    srt = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in lww_reduce(df, order=("ts", "seq", "offset")).collect()}
+    hsh = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in lww_reduce_hash(df, order=("ts", "seq", "offset")).collect()}
+    assert srt == hsh
+    assert srt[("c1", 0)] == "null-ts row"  # null-ts key not silently dropped
+    assert srt[("c2", 0)] == "a"  # non-null ts beats null ts (nulls-smallest)
+
+
+def test_sink_keeps_null_ts_event(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)  # default: hash
+    df = spark.createDataFrame([_ev("c1", 0, 1, ts=None)], CHANGE_SCHEMA)
+    sink.merge(df, batch_id=0)
+    got = sink.read_table().collect()
+    assert len(got) == 1 and got[0]["conv_id"] == "c1" and got[0]["ts"] is None
+
+
+def test_duplicate_redelivery_without_lineage_columns(spark, tmp_path):
+    """Two identical deliveries of one event, no source_file/offset: the
+    snapshot must hold ONE row for the key (merge auto-falls back to the
+    sort strategy, whose max_by collapses exact duplicates)."""
+    bare = T.StructType(list(ENVELOPE_FIELDS) + list(TRANSCRIPT_SCHEMA.fields))
+    ev = {"seq": 7, "op": "I", "conv_id": "c1", "turn_idx": 0, "role": "user",
+          "text": "hello", "tool": None, "ts": datetime(2024, 1, 1, tzinfo=timezone.utc)}
+    df = spark.createDataFrame([ev, dict(ev)], bare)  # redelivered twice
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, merge_strategy="hash")
+    rec = sink.merge(df, batch_id=0)
+    assert rec.merge_strategy == "sort"  # fallback recorded in lineage
+    assert sink.read_table().count() == 1
+
+
+def test_duplicate_redelivery_with_null_lineage_values(spark, tmp_path):
+    """Lineage columns present but NULL per row — same hazard, same
+    fallback (detected row-wise in the batch-stats pass)."""
+    ev = _ev("c1", 0, 7, ts=datetime(2024, 1, 1, tzinfo=timezone.utc),
+             source_file=None, offset=None)
+    df = spark.createDataFrame([ev, dict(ev)], CHANGE_SCHEMA)
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, merge_strategy="hash")
+    rec = sink.merge(df, batch_id=0)
+    assert rec.merge_strategy == "sort"
+    assert sink.read_table().count() == 1
+
+
+def test_asof_carries_nulls_from_single_latest_row(spark):
+    """Right rows (ts=1, value=5.0, eid=100) and (ts=5, value=NULL,
+    eid=200): a left row at ts=6 must see (NULL, 200) — the latest right
+    row verbatim — not (5.0, 200), a row that never existed."""
+    left = spark.createDataFrame([("k", 6, "L1")], "k string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 100), ("k", 5, None, 200)],
+        "k string, ts long, value double, eid long",
+    )
+    out = asof_join(left, right, on="k", ts="ts", right_cols=["value", "eid"]).collect()
+    assert len(out) == 1
+    assert out[0]["value_asof"] is None
+    assert out[0]["eid_asof"] == 200
+    # and a left row before any right row sees all-NULL carried columns
+    left2 = spark.createDataFrame([("k", 0, "L0")], "k string, ts long, tag string")
+    out2 = asof_join(left2, right, on="k", ts="ts", right_cols=["value", "eid"]).collect()
+    assert out2[0]["value_asof"] is None and out2[0]["eid_asof"] is None

@@ -98,6 +98,33 @@ def test_asof_join_is_single_shuffle(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_no_cartesian_product_in_any_registered_plan(spark):
+    """Scale gate: no registered query may contain a CartesianProduct
+    (all-pairs) join. BroadcastNestedLoopJoin is permitted — that is the
+    intentional small-side-broadcast shape (range join, centroid
+    assignment); an unbroadcast cartesian is always a 100×-scale killer."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        plan = _plan(spec.build(spark, SF), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_ivf_topk_scan_prunes_to_probed_clusters(spark):
+    """The IVF query must read ONLY the probed partitions of the
+    persisted index — partition pruning on centroid_id, not a full
+    corpus re-assignment per query."""
+    df = REGISTRY["ann_ivf_topk"].build(spark, SF)
+    part_lines = [ln for ln in _plan(df).splitlines() if "PartitionFilters" in ln]
+    # e.g. "PartitionFilters: [centroid_id#145 IN (0,3)]" — nprobe=2 of
+    # 8 clusters reach the scan as a partition filter (inputFiles() is
+    # pre-pruning, so the filter text is the assertable artifact)
+    assert part_lines and "centroid_id" in part_lines[0]
+    in_list = part_lines[0].split(" IN (")[1].split(")")[0]
+    assert len(in_list.split(",")) == 2
+
+
 def test_range_join_broadcasts_band_dim(spark):
     plan = _plan(REGISTRY["quantity_band_range_join"].build(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
