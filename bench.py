@@ -108,8 +108,9 @@ def main() -> None:
     if mode == "all":
         for name in headline_names():
             spec = REGISTRY[name]
+            build = spec.bench_build or spec.build  # production hash tier when it exists
             t0 = time.time()
-            n = spec.build(spark, sf_dir).count()  # full materialization
+            n = build(spark, sf_dir).count()  # full materialization
             dt = round(time.time() - t0, 3)
             queries[name] = dt
             total += dt

@@ -9,6 +9,8 @@ idempotent command surface::
     spark-submit --py-files oec_etl_spark.zip -m oec_etl_spark.cli \\
         replay  --changes DIR --target DIR --checkpoint DIR [--buckets N]
         resume  ... (identical to replay: the checkpoint IS the resume point)
+        tail    ... [--interval '5 seconds'] [--for-seconds N]  # continuous
+                    incremental mode (processingTime trigger, same checkpoint)
         verify  --changes DIR --target DIR   # table == batch oracle?
         lineage --target DIR                 # print per-batch lineage JSONL
 
@@ -21,6 +23,7 @@ re-delivered epoch (north rule: "resumable from checkpoint").
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -44,6 +47,31 @@ def cmd_replay(spark, args) -> int:
     from oec_etl_spark.streaming.engine import run_replay
 
     recs = run_replay(spark, _cfg(args))
+    applied = sum(r.rows_applied for r in recs)
+    print(json.dumps({"batches": len(recs), "rows_applied": applied}))
+    return 0
+
+
+def cmd_tail(spark, args) -> int:
+    """Long-lived incremental mode: keep merging new change-log segment
+    files as they land. ``--for-seconds`` bounds the run (ops/testing);
+    default runs until interrupted. Same checkpoint as replay/resume, so
+    tail picks up exactly where a backfill stopped."""
+    from oec_etl_spark.streaming.engine import start_tail
+
+    cfg = _cfg(args)
+    if args.interval:
+        cfg = dataclasses.replace(cfg, processing_interval=args.interval)
+    query, recs = start_tail(spark, cfg)
+    try:
+        if args.for_seconds is not None:
+            query.awaitTermination(args.for_seconds)
+        else:
+            query.awaitTermination()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        query.stop()
     applied = sum(r.rows_applied for r in recs)
     print(json.dumps({"batches": len(recs), "rows_applied": applied}))
     return 0
@@ -94,17 +122,20 @@ def cmd_lineage(spark, args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("replay", "resume", "verify", "lineage", "compact"):
+    for name in ("replay", "resume", "tail", "verify", "lineage", "compact"):
         sp = sub.add_parser(name)
         if name not in ("lineage", "compact"):
             sp.add_argument("--changes", required=True)
             sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
         sp.add_argument("--target", required=True)
-        if name in ("replay", "resume"):
+        if name in ("replay", "resume", "tail"):
             sp.add_argument("--checkpoint", required=True)
             sp.add_argument("--max-files-per-trigger", type=int, default=None)
             sp.add_argument("--quarantine", default=None)
             sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
+        if name == "tail":
+            sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
+            sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")
         if name == "compact":
             sp.add_argument("--expire", action="store_true")
             sp.add_argument("--keep-snapshots", type=int, default=2)
@@ -117,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd in ("replay", "resume"):
             return cmd_replay(spark, args)
+        if args.cmd == "tail":
+            return cmd_tail(spark, args)
         if args.cmd == "verify":
             return cmd_verify(spark, args)
         if args.cmd == "compact":

@@ -19,6 +19,10 @@ class EngineConfig:
     checkpoint_dir: str  # Structured Streaming checkpointLocation
     n_buckets: int = 16  # conv_id hash buckets in the target layout
     max_files_per_trigger: int | None = None  # None => AvailableNow single batch
+    # Continuous tail mode (engine.start_tail): micro-batch cadence for
+    # the processingTime trigger. Backfill (run_replay) always uses
+    # Trigger.AvailableNow and ignores this.
+    processing_interval: str = "1 second"
     # Hot-key handling: a conv_id whose share of a batch exceeds
     # hot_key_threshold (fraction of batch rows) is salted across
     # hot_key_salt sub-partitions for the reduce shuffle.

@@ -13,19 +13,29 @@ The scale path for each:
   few bits.
 - embedding cosine: see operators/similarity.py.
 
-Hashing is md5-based and string-ordered so the DuckDB oracle can run
-the *identical* computation (Spark xxhash64 has no DuckDB equivalent).
+Two hash tiers behind one ``portable_hash`` flag (same convention as
+``simhash``): the PRODUCTION tier hashes with xxhash64 (JVM-codegen'd,
+fixed-width longs — what a 100 TB corpus should run); the ORACLE tier
+(portable_hash=True) hashes with md5 strings so the DuckDB oracle can
+run the *identical* computation (xxhash64 has no DuckDB equivalent).
 All logic is built-ins; SimHash uses bit arithmetic over exploded
 tokens — still no Python in the row path.
+
+Tuning (signature length, bands, shingle width, stop-shingle cap) is
+parameterized per call; the module constants are the oracle-tier
+defaults baked into the registered CORRECTNESS queries. Production
+near-dup at scale typically wants n_minhash=128 / n_bands=16+ (see
+``tests/test_dedup_recall.py`` for the recall property at that
+setting).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_MINHASH = 8  # minhash signature length
-N_BANDS = 4  # LSH bands (rows per band = N_MINHASH // N_BANDS)
+N_MINHASH = 8  # minhash signature length (oracle-tier default)
+N_BANDS = 4  # LSH bands (rows per band = n_minhash // n_bands)
 SHINGLE_LEN = 12  # char-shingle width
 MAX_SHINGLE_DF = 50  # document-frequency cap (stop-shingle guard)
 
@@ -41,10 +51,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ------------------------------------------------------------- shingling
-def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_len: int = SHINGLE_LEN,
+) -> DataFrame:
     """Distinct char n-gram shingles per doc: explode over a position
     sequence (no Python). Output: (id, shingle)."""
-    n = F.length(F.col(text_col)) - (SHINGLE_LEN - 1)
+    n = F.length(F.col(text_col)) - (shingle_len - 1)
     return (
         df.select(id_col, text_col)
         .filter(n > 0)
@@ -53,39 +66,64 @@ def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.explode(F.sequence(F.lit(1), n)).alias("pos"),
             F.col(text_col),
         )
-        .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {SHINGLE_LEN})").alias("shingle"))
+        .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {shingle_len})").alias("shingle"))
         .distinct()
     )
 
 
 # ---------------------------------------------------------- minhash + LSH
-def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """k independent minhashes per doc: min over md5(seed:shingle)
-    strings (string order is engine-portable)."""
+def _shingle_hash(i: int, portable: bool) -> Column:
+    """The i-th independent shingle hash: xxhash64 seeded by column
+    position (production) or md5 over a seed-prefixed string (oracle)."""
+    if portable:
+        return F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    return F.xxhash64(F.lit(i), F.col("shingle"))
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id",
+    n_minhash: int = N_MINHASH, portable_hash: bool = True,
+) -> DataFrame:
+    """k independent minhashes per doc (min over per-seed hashes;
+    long order for xxhash64, string order for the portable md5 tier)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(N_MINHASH)
+        F.min(_shingle_hash(i, portable_hash)).alias(f"mh{i}") for i in range(n_minhash)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band keys: md5 of the concatenated band rows. Output:
-    (id, band_idx, band_key)."""
-    rows_per_band = N_MINHASH // N_BANDS
+def lsh_bands(
+    signatures: DataFrame, id_col: str = "doc_id",
+    n_minhash: int = N_MINHASH, n_bands: int = N_BANDS, portable_hash: bool = True,
+) -> DataFrame:
+    """Band keys: hash of each band's signature rows. Output:
+    (id, band_idx, band_key). band_key is a string (md5) on the
+    portable tier, a long (xxhash64) on the production tier."""
+    rows_per_band = n_minhash // n_bands
     bands = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_key")))
+        key = F.md5(F.concat(*cols)) if portable_hash else F.xxhash64(*cols)
+        bands.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
     return signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
 
 
-def dedup_minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_minhash_lsh(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_minhash: int = N_MINHASH, n_bands: int = N_BANDS,
+    shingle_len: int = SHINGLE_LEN, portable_hash: bool = True,
+) -> DataFrame:
     """Near-duplicate *candidate pairs*: docs sharing any LSH band.
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct."""
-    bands = lsh_bands(minhash_signatures(char_shingles(df, text_col, id_col), id_col), id_col)
+    bands = lsh_bands(
+        minhash_signatures(
+            char_shingles(df, text_col, id_col, shingle_len),
+            id_col, n_minhash, portable_hash,
+        ),
+        id_col, n_minhash, n_bands, portable_hash,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -102,17 +140,18 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 # ------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id",
+    shingle_len: int = SHINGLE_LEN, max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard over distinct char shingles for co-shingled pairs.
-    Stop-shingles (df > MAX_SHINGLE_DF) are dropped before the self-join
+    Stop-shingles (df > max_shingle_df) are dropped before the self-join
     — without this cap one ubiquitous shingle creates an O(n²) hot key.
     Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
-    sh = char_shingles(df, text_col, id_col)
+    sh = char_shingles(df, text_col, id_col, shingle_len)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_cnt"))
-        .filter(F.col("df_cnt") <= MAX_SHINGLE_DF)
+        .filter(F.col("df_cnt") <= max_shingle_df)
         .select("shingle")
     )
     sh = sh.join(rare, "shingle")  # broadcast-able at small scale; AQE decides

@@ -36,14 +36,20 @@ class QuerySpec:
     oracle: str | None
     headline: bool = False  # included in bench.py's headline set
     tags: str = ""
+    # Optional production-tier builder used by bench.py instead of
+    # `build`: same operator, but with engine-native hashing (xxhash64)
+    # where `build` must use portable md5 purely so the DuckDB oracle
+    # can replicate it. The bench measures what a cluster would run.
+    bench_build: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def _register(name: str, oracle: str | None, headline: bool = False, tags: str = ""):
+def _register(name: str, oracle: str | None, headline: bool = False, tags: str = "",
+              bench_build: Callable[[SparkSession, str], DataFrame] | None = None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, tags)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, tags, bench_build)
         return fn
 
     return deco
@@ -584,6 +590,13 @@ _LSH_CTES = f"""{_SHINGLE_CTE},
     )"""
 
 
+def _dedup_minhash_lsh_fast(spark, sf_dir):
+    """Production tier: identical pipeline, xxhash64 signatures/band
+    keys (fixed-width longs, codegen'd) instead of the md5 strings the
+    oracle comparison requires."""
+    return dd.dedup_minhash_lsh(load(spark, sf_dir, "documents"), portable_hash=False)
+
+
 @_register(
     "dedup_minhash_lsh",
     f"""
@@ -592,6 +605,7 @@ _LSH_CTES = f"""{_SHINGLE_CTE},
     """,
     headline=True,
     tags="MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
+    bench_build=_dedup_minhash_lsh_fast,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dd.dedup_minhash_lsh(load(spark, sf_dir, "documents"))

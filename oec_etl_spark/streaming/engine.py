@@ -46,25 +46,20 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return df.filter(ok), df.filter(~ok)
 
 
-def run_replay(
+def _build_query(
     spark: SparkSession,
     cfg: EngineConfig,
+    lineages: list[BatchLineage],
     fail_after_batches: int | None = None,
-) -> list[BatchLineage]:
-    """Replay the change log into the target; returns per-batch lineage.
-
-    ``fail_after_batches`` is a test hook: raise inside foreachBatch
-    after N successful batches to simulate a mid-replay crash; a
-    subsequent call with the same config must resume losslessly from
-    the checkpoint.
-    """
+):
+    """Shared stream construction for backfill and tail: reader +
+    quarantine + MERGE foreachBatch, everything but the trigger."""
     sink = ParquetSnapshotSink(
         spark, cfg.target_dir, cfg.n_buckets,
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
     )
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
-    lineages: list[BatchLineage] = []
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if fail_after_batches is not None and len(lineages) >= fail_after_batches:
@@ -99,15 +94,53 @@ def run_replay(
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
     stream = reader.load(cfg.changes_dir)
-
-    query = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", cfg.checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", cfg.checkpoint_dir
     )
+
+
+def run_replay(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    fail_after_batches: int | None = None,
+) -> list[BatchLineage]:
+    """Backfill: replay everything currently in the change log
+    (Trigger.AvailableNow), block until done; returns per-batch lineage.
+
+    ``fail_after_batches`` is a test hook: raise inside foreachBatch
+    after N successful batches to simulate a mid-replay crash; a
+    subsequent call with the same config must resume losslessly from
+    the checkpoint.
+    """
+    lineages: list[BatchLineage] = []
+    query = _build_query(spark, cfg, lineages, fail_after_batches).trigger(
+        availableNow=True
+    ).start()
     query.awaitTermination()
     return lineages
+
+
+def start_tail(
+    spark: SparkSession,
+    cfg: EngineConfig,
+):
+    """Continuous tail: the SAME query as ``run_replay`` on a
+    ``processingTime`` trigger (cfg.processing_interval) — the engine
+    keeps watching the change-log dir and merges new segment files as
+    they land, replacing the reference's cron-style re-runs of a month
+    pipeline (/root/reference/etl/trade_comtrade_monthly_pipeline.py:120-135)
+    with one long-lived incremental query.
+
+    Returns ``(query, lineages)``: a live StreamingQuery (caller owns
+    stop()) and the lineage list, appended to as batches commit.
+    Because backfill and tail share one checkpointLocation, a tail can
+    take over where a backfill stopped and vice versa.
+    """
+    lineages: list[BatchLineage] = []
+    query = _build_query(spark, cfg, lineages).trigger(
+        processingTime=cfg.processing_interval
+    ).start()
+    return query, lineages
 
 
 def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:

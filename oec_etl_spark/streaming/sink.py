@@ -459,22 +459,61 @@ class ParquetSnapshotSink:
         return rec
 
 
+def iceberg_create_table_sql(
+    table: str,
+    schema: T.StructType,
+    n_buckets: int = 16,
+    keys: tuple[str, ...] = KEY_COLUMNS,
+) -> str:
+    """CREATE TABLE statement for the Iceberg target: payload columns +
+    the sink's meta columns, bucketed on the leading key (the Iceberg
+    form of the snapshot sink's hash-bucket layout) with hash write
+    distribution so a MERGE's write shuffle aligns with the buckets."""
+    cols = ",\n      ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n"
+        f"      {cols},\n"
+        f"      {META_SEQ} BIGINT,\n"
+        f"      {META_DELETED} BOOLEAN)\n"
+        f"    USING iceberg\n"
+        f"    PARTITIONED BY (bucket({n_buckets}, {keys[0]}))\n"
+        f"    TBLPROPERTIES ('write.distribution-mode'='hash',\n"
+        f"                   'format-version'='2')"
+    )
+
+
+def iceberg_merge_sql(
+    table: str,
+    source_view: str = "_cdc_winners",
+    keys: tuple[str, ...] = KEY_COLUMNS,
+) -> str:
+    """MERGE INTO statement applying LWW batch winners: a matched row is
+    touched only when the source wins the (ts, seq) order (stored row
+    wins ties → idempotent re-delivery), a winning delete removes the
+    row, and unmatched non-deletes insert."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    guard = f"struct(s.ts, s.seq) >= struct(t.ts, t.{META_SEQ})"
+    return (
+        f"MERGE INTO {table} t USING {source_view} s\n"
+        f"    ON {on}\n"
+        f"    WHEN MATCHED AND s.op = 'D' AND {guard} THEN DELETE\n"
+        f"    WHEN MATCHED AND {guard} THEN UPDATE SET *\n"
+        f"    WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *"
+    )
+
+
 class IcebergMergeSink:
     """The same merge expressed as Iceberg SQL (requires
     `org.apache.iceberg:iceberg-spark-runtime` + SQL extensions on the
     session — not available in this sandbox, so this class is a thin,
-    honest wrapper that raises clearly when the catalog is absent).
+    honest wrapper that raises clearly when the catalog is absent; the
+    statements themselves come from the pure builders above, which ARE
+    unit-tested without a runtime).
 
-    Flow per batch: stage LWW batch-winners as a temp view, then
-      MERGE INTO {table} t USING winners s
-      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
-      WHEN MATCHED AND s.op = 'D' AND (s.ts, s.seq) >= (t.ts, t.__seq) THEN DELETE
-      WHEN MATCHED AND (s.ts, s.seq) >= (t.ts, t.__seq) THEN UPDATE SET *
-      WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
-    with the table created as
-      CREATE TABLE ... PARTITIONED BY (bucket(N, conv_id))
-      TBLPROPERTIES ('write.distribution-mode'='hash')
-    and batch-id guards kept in the table's snapshot summary.
+    Flow per batch: stage LWW batch-winners as a temp view, then run
+    ``iceberg_merge_sql`` against a table created by
+    ``iceberg_create_table_sql``; batch-id guards are kept in the
+    table's snapshot summary.
     """
 
     def __init__(self, spark: SparkSession, table: str, n_buckets: int = 16):
@@ -494,14 +533,5 @@ class IcebergMergeSink:
     def merge(self, changes: DataFrame, batch_id: int, quarantined: int = 0) -> BatchLineage:  # pragma: no cover
         kw = lww_reduce(changes)
         kw.createOrReplaceTempView("_cdc_winners")
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _cdc_winners s
-            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
-            WHEN MATCHED AND s.op = 'D'
-                 AND struct(s.ts, s.seq) >= struct(t.ts, t.__seq) THEN DELETE
-            WHEN MATCHED AND struct(s.ts, s.seq) >= struct(t.ts, t.__seq) THEN UPDATE SET *
-            WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
-            """
-        )
+        self.spark.sql(iceberg_merge_sql(self.table))
         return BatchLineage(batch_id=batch_id, rows_quarantined=quarantined)

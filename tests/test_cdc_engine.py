@@ -125,6 +125,51 @@ def test_duplicate_and_disorder_heavy(spark, tmp_path):
     _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
 
 
+def test_tail_trigger_applies_new_segments(spark, tmp_path):
+    """Continuous tail mode: segment files dropped into the watched dir
+    MID-RUN are merged by the live processingTime query; after stop, a
+    fresh tail on the same checkpoint resumes and applies later drops
+    without reprocessing old ones."""
+    import shutil
+
+    from oec_etl_spark.streaming.engine import start_tail
+
+    # full log staged elsewhere; segments are moved into the watched dir
+    staged = tmp_path / "staged"
+    generate_changelog(GeneratorConfig(out_dir=str(staged), seed=31, n_conversations=60, n_segments=6))
+    segs = sorted(glob.glob(str(staged / "*.parquet")))
+    watched = tmp_path / "changes"
+    os.makedirs(watched)
+    for s in segs[:2]:
+        shutil.copy(s, watched)
+
+    cfg = _engine_cfg(tmp_path, processing_interval="1 second")
+    query, recs = start_tail(spark, cfg)
+    try:
+        query.processAllAvailable()
+        applied_first = sum(r.rows_in_batch for r in recs)
+        assert applied_first > 0
+        for s in segs[2:4]:  # land mid-run
+            shutil.copy(s, watched)
+        query.processAllAvailable()
+        assert sum(r.rows_in_batch for r in recs) > applied_first
+    finally:
+        query.stop()
+
+    # resume: a new tail on the same checkpoint sees only segment 5-6
+    for s in segs[4:]:
+        shutil.copy(s, watched)
+    query2, recs2 = start_tail(spark, cfg)
+    try:
+        query2.processAllAvailable()
+    finally:
+        query2.stop()
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, str(watched)))
+    # resumed query processed only the two new segments, not the first four
+    assert sum(r.rows_in_batch for r in recs2) < applied_first + sum(r.rows_in_batch for r in recs)
+
+
 def test_crash_and_resume_from_checkpoint(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
