@@ -36,4 +36,10 @@ class EngineConfig:
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json
+    # Declarative source binding (connectors.py, the conns.yaml analog):
+    # when set, `changes_dir` is a connector NAME in this registry file;
+    # its <param> placeholders bind from `source_params`, and its driver
+    # overrides `format`.
+    connectors_path: str | None = None
+    source_params: dict[str, str] = field(default_factory=dict)
     extra_spark_conf: dict[str, str] = field(default_factory=dict)

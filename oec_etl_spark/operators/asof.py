@@ -75,3 +75,105 @@ def asof_join(
     return unioned.filter(F.col(_SIDE) == 1).select(
         "__row.*", *[F.col(f"__r.{c}").alias(a) for c, a in zip(right_cols, carried)]
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+    n_buckets: int = 32,
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """Hot-key-proof as-of join: identical semantics to ``asof_join``,
+    with each key's timeline split into ``n_buckets`` ts-RANGE buckets
+    so the window partitions on (key, bucket) — a single conversation
+    with 10^8 events spreads over n_buckets tasks instead of one.
+
+    Measured motivation (local[32], 6M-row union): balanced keys 1.5 s;
+    same volume with ONE key holding half the rows 3.0 s — the hot key
+    serializes into a single window task (the plain operator's only
+    skew exposure). At that size this variant lands at 2.8 s (identical
+    results): the carry machinery + bounds pass roughly cancel the
+    parallelism win, because sorting 3M slim rows in one task is still
+    cheap. The gap grows with per-key cardinality — plain is a
+    single-task O(n log n) on the hot key, bucketed is n_buckets-way
+    parallel — so reach for this when one key's rows exceed ~10^7.
+
+    Mechanics: bucket = ts range position over [min, max] (``bounds``
+    skips the bounds pass when the caller knows them, e.g. a day's
+    partition). Cross-bucket correctness comes from CARRY-IN rows: per
+    (key, bucket), the latest right row of any EARLIER bucket is
+    replayed into the bucket as an ordinary right row (its real ts is
+    strictly below everything in the bucket, so ordering needs no
+    special casing). The carry spine is ≤ keys × n_buckets rows — tiny
+    — and is the only cross-bucket dependency, computed with one
+    window over bucket ordinals, not events.
+    """
+    carried = [f"{c}{suffix}" for c in right_cols]
+    if bounds is None:
+        row = (
+            left.select(F.col(ts).alias("t"))
+            .unionByName(right.select(F.col(ts).alias("t")))
+            .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+            .collect()[0]
+        )
+        bounds = (row["lo"], row["hi"])
+    lo_d = F.lit(bounds[0]).cast("double")
+    # epsilon floor keeps the all-ts-equal case at bucket 0 (no div-by-0)
+    span = F.greatest(
+        (F.lit(bounds[1]).cast("double") - lo_d) / F.lit(n_buckets), F.lit(1e-9)
+    )
+
+    def bucket_of(col):
+        b = F.floor((col.cast("double") - lo_d) / span)
+        return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    rhs = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias(_SIDE), rstruct.alias("__r"),
+        bucket_of(F.col(ts)).alias("__b"),
+    )
+    lhs = left.select(
+        F.col(on), F.col(ts), F.lit(1).alias(_SIDE),
+        F.lit(None).cast(rhs.schema["__r"].dataType).alias("__r"),
+        bucket_of(F.col(ts)).alias("__b"),
+        F.struct(*left.columns).alias("__row"),
+    )
+    rhs = rhs.withColumn("__row", F.lit(None).cast(lhs.schema["__row"].dataType))
+
+    # per-(key,bucket) latest right row → running carry across buckets
+    win_rb = rhs.groupBy(on, "__b").agg(
+        F.max_by(F.struct(F.col(ts).alias("__cts"), F.col("__r").alias("__cr")), F.col(ts)).alias("__w")
+    )
+    spine = (
+        lhs.select(on, "__b").unionByName(rhs.select(on, "__b")).distinct()
+        .join(win_rb, [on, "__b"], "left")
+    )
+    wprev = (
+        Window.partitionBy(on).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = (
+        spine.withColumn("__carry", F.last("__w", ignorenulls=True).over(wprev))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            F.col(on), F.col("__carry.__cts").alias(ts), F.lit(0).alias(_SIDE),
+            F.col("__carry.__cr").alias("__r"), F.col("__b"),
+            F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(on, "__b")
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = lhs.unionByName(rhs).unionByName(carries).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
+    return unioned.filter(F.col(_SIDE) == 1).select(
+        "__row.*", *[F.col(f"__r.{c}").alias(a) for c, a in zip(right_cols, carried)]
+    )

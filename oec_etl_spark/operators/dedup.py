@@ -212,28 +212,21 @@ def simhash(
 
 
 # -------------------------------------------------- survivor resolution
-def dedup_survivors(
+def cc_propagate(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
-) -> DataFrame:
-    """Connected-component survivor assignment: every doc maps to the
-    minimum doc_id reachable through the near-dup pair graph (survivor
-    == itself for unique docs).
-
-    Iterative min-label propagation: each round joins current labels
-    across the (symmetrized) edge set and keeps the per-node minimum;
-    converges in O(component diameter) rounds — near-dup clusters are
-    shallow, so a handful. ``localCheckpoint`` truncates the plan each
-    round (iterative joins otherwise stack exponentially deep lineage).
-    At billions of edges the same loop is run with the large-star/
-    small-star optimization (Kiveris et al., "Connected Components in
-    MapReduce and Beyond"); the fixpoint logic is identical.
-    """
+) -> tuple[DataFrame, int]:
+    """Min-label propagation to fixpoint. Returns (labels(u, lbl),
+    rounds used). Converges in O(component diameter) rounds — fine for
+    shallow near-dup clusters, degenerate on long chains (see
+    ``cc_two_phase``)."""
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().localCheckpoint()
     labels = docs.select(F.col(id_col).alias("u")).distinct().withColumn("lbl", F.col("u"))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -247,4 +240,95 @@ def dedup_survivors(
         labels = new.drop("chg")
         if changed == 0:
             break
+    return labels, rounds
+
+
+def cc_two_phase(pairs: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the billion-edge
+    regime. Each round alternates:
+
+    - large-star: every node connects its LARGER neighbors to its
+      minimum neighborhood label (halves long chains), then
+    - small-star: every node and its smaller neighbors collapse onto
+      the minimum (forms stars).
+
+    Converges in O(log n) rounds regardless of component diameter —
+    vs O(diameter) for plain propagation — and every round is two
+    groupBy+join passes over the edge set, same per-round shuffle shape.
+    Returns (labels(u, lbl) for every node appearing in ``pairs``,
+    rounds used); label = component minimum. Root nodes label
+    themselves; singletons never appear in ``pairs`` and are handled by
+    the caller's left join.
+    """
+    # canonical direction: u > v (larger endpoint first)
+    a = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    prev_sig = None
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star over the symmetric adjacency
+        sym = a.unionByName(a.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        b = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))  # larger neighbors re-pointed to m
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star over the u>v directed edges
+        mn = b.groupBy("u").agg(F.min("v").alias("m"))
+        a = (
+            b.join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # smaller nbrs → m
+            .unionByName(mn.select("u", F.col("m").alias("v")))  # u itself → m
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = a.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # star forest: non-roots point at the component min; roots label themselves
+    labels = a.select("u", F.col("v").alias("lbl")).unionByName(
+        a.select(F.col("v").alias("u"), F.col("v").alias("lbl"))
+    ).distinct()
+    return labels, rounds
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20,
+    algorithm: str = "propagate",
+) -> DataFrame:
+    """Connected-component survivor assignment: every doc maps to the
+    minimum doc_id reachable through the near-dup pair graph (survivor
+    == itself for unique docs).
+
+    ``algorithm="propagate"`` (default, oracle tier): min-label
+    propagation, O(diameter) rounds — near-dup clusters are shallow, so
+    a handful. ``algorithm="two-phase"``: large-star/small-star,
+    O(log n) rounds — the billion-edge/long-chain regime. Identical
+    fixpoint (property-tested in tests/test_cc_two_phase.py).
+    ``localCheckpoint`` truncates the plan each round (iterative joins
+    otherwise stack exponentially deep lineage).
+    """
+    if algorithm == "two-phase":
+        labels, _ = cc_two_phase(pairs, max_iter)
+        base = docs.select(F.col(id_col)).distinct()
+        return (
+            base.join(labels.withColumnRenamed("u", id_col), id_col, "left")
+            .select(id_col, F.coalesce("lbl", F.col(id_col)).alias("survivor_id"))
+        )
+    labels, _ = cc_propagate(docs, pairs, id_col, max_iter)
     return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("survivor_id"))

@@ -33,6 +33,19 @@ from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 VALID_OPS = ("I", "U", "D")
 
 
+def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
+    """(path, format) of the change log. With ``cfg.connectors_path``
+    set, ``changes_dir`` is a connector NAME resolved through the
+    declarative registry (conns.yaml analog) with ``source_params``
+    bound into its <param> slots; otherwise it is a bare path."""
+    if cfg.connectors_path:
+        from oec_etl_spark.connectors import fetch
+
+        conn = fetch(cfg.changes_dir, cfg.connectors_path)
+        return conn.resolve(cfg.source_params), conn.driver
+    return cfg.changes_dir, cfg.format
+
+
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, malformed). Malformed = unknown op or null key — the
     engine's DLQ, vs the reference's silent try/except-to-zero
@@ -90,10 +103,11 @@ def _build_query(
             if due:
                 sink.compact(due)
 
-    reader = spark.readStream.schema(CHANGE_SCHEMA).format(cfg.format)
+    src_path, src_format = _resolve_source(cfg)
+    reader = spark.readStream.schema(CHANGE_SCHEMA).format(src_format)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
-    stream = reader.load(cfg.changes_dir)
+    stream = reader.load(src_path)
     return stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", cfg.checkpoint_dir
     )
@@ -152,7 +166,8 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
     )
-    df = spark.read.schema(CHANGE_SCHEMA).format(cfg.format).load(cfg.changes_dir)
+    src_path, src_format = _resolve_source(cfg)
+    df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)
     valid, bad = quarantine_split(df)
     n_bad = 0
     if cfg.quarantine_dir is not None:
