@@ -121,14 +121,19 @@ def asof_join_bucketed(
             .collect()[0]
         )
         bounds = (row["lo"], row["hi"])
-    lo_d = F.lit(bounds[0]).cast("double")
+    temporal = left.schema[ts].dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+
+    def as_num(col):  # temporal → epoch micros; numeric → double
+        if temporal:
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        return col.cast("double")
+
+    lo_d = as_num(F.lit(bounds[0]))
     # epsilon floor keeps the all-ts-equal case at bucket 0 (no div-by-0)
-    span = F.greatest(
-        (F.lit(bounds[1]).cast("double") - lo_d) / F.lit(n_buckets), F.lit(1e-9)
-    )
+    span = F.greatest((as_num(F.lit(bounds[1])) - lo_d) / F.lit(n_buckets), F.lit(1e-9))
 
     def bucket_of(col):
-        b = F.floor((col.cast("double") - lo_d) / span)
+        b = F.floor((as_num(col) - lo_d) / span)
         return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
 
     rstruct = F.struct(*[F.col(c) for c in right_cols])

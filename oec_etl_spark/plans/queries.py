@@ -634,6 +634,16 @@ def dedup_survivors(spark, sf_dir):
 
 
 @_register(
+    "dedup_survivors_twophase",
+    REGISTRY["dedup_survivors"].oracle,  # identical fixpoint, different engine
+    tags="survivor resolution via large-star/small-star CC (O(log n) rounds, billion-edge regime)",
+)
+def dedup_survivors_twophase(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dd.dedup_survivors(docs, dd.dedup_minhash_lsh(docs), algorithm="two-phase")
+
+
+@_register(
     "ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE},
@@ -886,9 +896,7 @@ def ann_lsh_neardup(spark, sf_dir):
 # Temporal / range joins, multidim aggregation, set ops
 # =====================================================================
 
-@_register(
-    "events_asof_enrich",
-    """
+_ASOF_ORACLE = """
     WITH p AS (SELECT user_id, ts, value, event_id FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
         FROM events WHERE event_type = 'purchase') WHERE rn = 1)
@@ -897,13 +905,10 @@ def ann_lsh_neardup(spark, sf_dir):
            p.event_id AS purchase_event_id
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
     ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
-    """,
-    headline=True,
-    tags="as-of join (temporal enrichment): union+sort-merge, no per-key cross product",
-)
-def events_asof_enrich(spark, sf_dir):
-    from oec_etl_spark.operators.asof import asof_join
+    """
 
+
+def _asof_inputs(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = lww_reduce(
@@ -911,11 +916,42 @@ def events_asof_enrich(spark, sf_dir):
         keys=("user_id", "ts"),
         order=("event_id",),
     )
-    out = asof_join(clicks, purchases, on="user_id", ts="ts", right_cols=["value", "event_id"])
+    return clicks, purchases
+
+
+def _asof_shape(out):
     return out.select(
         "event_id", "user_id", "ts",
         F.round("value_asof", 4).alias("purchase_value"),
         F.col("event_id_asof").alias("purchase_event_id"),
+    )
+
+
+@_register(
+    "events_asof_enrich",
+    _ASOF_ORACLE,
+    headline=True,
+    tags="as-of join (temporal enrichment): union+sort-merge, no per-key cross product",
+)
+def events_asof_enrich(spark, sf_dir):
+    from oec_etl_spark.operators.asof import asof_join
+
+    clicks, purchases = _asof_inputs(spark, sf_dir)
+    return _asof_shape(asof_join(clicks, purchases, on="user_id", ts="ts", right_cols=["value", "event_id"]))
+
+
+@_register(
+    "events_asof_bucketed",
+    _ASOF_ORACLE,
+    tags="hot-key as-of join: ts-range sub-buckets + carry-in rows, identical semantics (same DuckDB ASOF oracle)",
+)
+def events_asof_bucketed(spark, sf_dir):
+    from oec_etl_spark.operators.asof import asof_join_bucketed
+
+    clicks, purchases = _asof_inputs(spark, sf_dir)
+    return _asof_shape(
+        asof_join_bucketed(clicks, purchases, on="user_id", ts="ts",
+                           right_cols=["value", "event_id"], n_buckets=8)
     )
 
 

@@ -178,7 +178,10 @@ Additional caveats, honestly stated:
 - Input: `{sf_dir}` scale; generator seed 42; config in bench.py.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw regenerated report; BENCH/BASELINE.md is curated by hand from
+    # this (it carries the optimization record + platform analysis that
+    # a blind overwrite would destroy)
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(md)
 
 
