@@ -955,6 +955,31 @@ def events_asof_bucketed(spark, sf_dir):
     )
 
 
+@_register(
+    "clicks_purchase_followup",
+    """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           round(p.value, 4) AS purchase_value,
+           (epoch_us(p.ts) - epoch_us(c.ts)) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags="interval join (attribution shape) — streaming twin is the watermarked stream-stream join in streaming/windows.py",
+)
+def clicks_purchase_followup(spark, sf_dir):
+    from oec_etl_spark.streaming.windows import purchase_followup_join
+
+    e = load(spark, sf_dir, "events")
+    return purchase_followup_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+    )
+
+
 _QTY_BANDS = [("low", 0, 10), ("mid", 10, 25), ("high", 25, 100)]
 
 

@@ -10,6 +10,8 @@ time-bucket ETL at 10^10-event scale:
   dropped deterministically, state evicted — bounded memory);
 - session windows (gap-based), the streaming twin of the batch
   `events_sessionize` query;
+- stream-stream interval join (watermarked both sides, time-bounded
+  condition → bounded join state);
 - a custom stateful per-key accumulator via ``applyInPandasWithState``
   (Arrow-batched; the escape hatch for semantics built-ins can't
   express).
@@ -76,6 +78,49 @@ def session_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def purchase_followup_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: every click paired with the same
+    user's purchases landing within ``within`` after it (attribution
+    shape). Both sides are watermarked and the join condition carries
+    the time bound, so Spark can evict buffered state: a click is
+    dropped from state once the purchase-side watermark passes
+    click.ts + within — bounded memory at 10^10 events, the defining
+    constraint of stream-stream joins (an unbounded-condition join
+    would buffer both streams forever).
+
+    Works identically on batch DataFrames (watermarks ignored), which is
+    how the test oracles it. Output: one row per (click, purchase) pair
+    with the lag in seconds.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"), F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"), F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        "click_id", "user_id", "click_ts", "purchase_id", "purchase_ts",
+        F.round("value", 4).alias("purchase_value"),
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("lag_us"),  # cast: parquet testdata carries TIMESTAMP_NTZ
     )
 
 

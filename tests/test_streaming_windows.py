@@ -123,6 +123,25 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert [r["n"] for r in sorted(got, key=lambda r: r["n"]) if r["window_start"].hour == 2] == [1, 2, 3]
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream self-join (clicks ⋈ purchases within 1h, same
+    source stream filtered twice) replayed over segment files equals the
+    identical join computed in batch."""
+    src = _stream_dir(tmp_path)
+
+    def build(s):
+        return W.purchase_followup_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            within="1 hour", watermark="0 seconds",
+        )
+
+    got = _run_stream(spark, src, build, str(tmp_path / "ck5"), mode="append", per_trigger=1)
+    want = build(spark.read.schema(EVENT_SCHEMA).parquet(src))
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stateful_running_totals(spark, tmp_path):
     src = _stream_dir(tmp_path)
     got = _run_stream(
