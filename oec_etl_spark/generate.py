@@ -124,30 +124,55 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     n_ev = pair.size
     seq = np.arange(1, n_ev + 1, dtype="int64")
 
-    # --- payload ------------------------------------------------------
+    # --- payload (vectorized in Arrow — a 60M-event log builds in C,
+    # not in 60M Python f-strings; measured 6M-event gen 33.7 s → see
+    # commit for after) -----------------------------------------------
+    import pyarrow.compute as pc
+
     conv = conv_of_pair[pair]
     turn = turn_of_pair[pair].astype("int32")
-    role = _ROLES[(conv + turn) % 4]
-    tool = np.where(role == "tool", _TOOLS[(conv * 7 + turn) % 3], None)
+    role_idx = (conv + turn) % 4
+    tool_idx = (conv * 7 + turn) % 3
     pool = _texts(rng, n_ev, cfg.text_pool)
-    base = pool[rng.integers(0, cfg.text_pool, n_ev)]
-    # suffix makes every (key, seq) text unique and byte-deterministic
-    text = np.array(
-        [f"{b} [c{c} t{t} s{s}]" for b, c, t, s in zip(base, conv, turn, seq)], dtype=object
-    )
+    base_idx = rng.integers(0, cfg.text_pool, n_ev)
     is_del = op == "D"
-    role = np.where(is_del, None, role)
-    tool = np.where(is_del, None, tool)
-    text = np.where(is_del, None, text)
 
     # --- malformed injection ------------------------------------------
     n_bad = int(n_ev * cfg.malformed_rate)
     bad_idx = rng.choice(n_ev, size=n_bad, replace=False) if n_bad else np.array([], dtype=int)
-    op = op.astype(object)
-    half = bad_idx[: n_bad // 2]
-    op[half] = "X"  # unknown op
-    conv_id = np.array([f"conv-{c:08d}" for c in conv], dtype=object)
-    conv_id[bad_idx[n_bad // 2 :]] = None  # null key
+    bad_op = np.zeros(n_ev, dtype=bool)
+    bad_op[bad_idx[: n_bad // 2]] = True  # unknown op
+    null_key = np.zeros(n_ev, dtype=bool)
+    null_key[bad_idx[n_bad // 2 :]] = True  # null key
+
+    conv_pa = pa.array(conv)
+    seq_str = pc.cast(pa.array(seq), pa.string())
+    null_str = pa.scalar(None, pa.string())
+    conv_id = pc.if_else(
+        pa.array(null_key),
+        null_str,
+        pc.binary_join_element_wise(
+            "conv-", pc.utf8_lpad(pc.cast(conv_pa, pa.string()), 8, "0"), ""
+        ),
+    )
+    op_lut = pa.array(["I", "U", "D", "X"])
+    op_i = np.where(op == "I", 0, np.where(op == "U", 1, 2)).astype("int8")
+    op_i[bad_op] = 3
+    op_col = pc.take(op_lut, pa.array(op_i))
+    del_mask = pa.array(is_del)
+    role = pc.if_else(del_mask, null_str, pc.take(pa.array(list(_ROLES)), pa.array(role_idx)))
+    # suffix makes every (key, seq) text unique and byte-deterministic
+    text = pc.if_else(
+        del_mask,
+        null_str,
+        pc.binary_join_element_wise(
+            pc.take(pa.array(list(pool)), pa.array(base_idx)),
+            " [c", pc.cast(conv_pa, pa.string()),
+            " t", pc.cast(pc.cast(pa.array(turn), pa.int64()), pa.string()),
+            " s", seq_str, "]", "",
+        ),
+    )
+    tool_null = pa.array(is_del | (role_idx != 3))
 
     # --- schema-evolution epoch boundary (commit-time, i.e. by seq) ----
     # An event's schema is fixed when it is committed to the log: events
@@ -158,7 +183,11 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     epoch1_until = min(int(cfg.n_segments * cfg.epoch1_fraction), cfg.n_segments)
     _idx = min(int(n_ev * cfg.epoch1_fraction), n_ev)
     epoch_bound_seq = int(seq[_idx - 1]) if (epoch1_until and _idx > 0) else 0
-    tool = np.where(seq <= epoch_bound_seq, None, tool)
+    tool = pc.if_else(
+        pc.or_(tool_null, pa.array(seq <= epoch_bound_seq)),
+        null_str,
+        pc.take(pa.array(list(_TOOLS)), pa.array(tool_idx)),
+    )
 
     # --- delivery order: bounded disorder + duplicates ------------------
     jitter = rng.integers(0, cfg.disorder_window + 1, n_ev)
@@ -189,19 +218,22 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     ext = "json" if cfg.file_format == "json" else "parquet"
     for s in range(cfg.n_segments):
         sel = delivery[bounds[s] : bounds[s + 1]]
+        sel_pa = pa.array(sel)
         fname = f"seg-{s:05d}.{ext}"
         cols: dict[str, pa.Array] = {
             "seq": pa.array(seq[sel]),
-            "op": pa.array(op[sel].tolist(), pa.string()),
-            "conv_id": pa.array(conv_id[sel].tolist(), pa.string()),
+            "op": pc.take(op_col, sel_pa),
+            "conv_id": pc.take(conv_id, sel_pa),
             "turn_idx": pa.array(turn[sel], pa.int32()),
-            "role": pa.array(role[sel].tolist(), pa.string()),
-            "text": pa.array(text[sel].tolist(), pa.string()),
+            "role": pc.take(role, sel_pa),
+            "text": pc.take(text, sel_pa),
         }
         if s >= epoch1_until:
-            cols["tool"] = pa.array(tool[sel].tolist(), pa.string())
+            cols["tool"] = pc.take(tool, sel_pa)
         cols["ts"] = pa.array(ts_col[sel], pa.timestamp("us"))
-        cols["source_file"] = pa.array([fname] * sel.size, pa.string())
+        cols["source_file"] = pc.take(
+            pa.array([fname]), pa.array(np.zeros(sel.size, dtype="int64"))
+        )
         cols["offset"] = pa.array(np.arange(sel.size, dtype="int64"))
         table = pa.table(cols)
         if ext == "json":
