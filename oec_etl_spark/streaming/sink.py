@@ -228,21 +228,39 @@ class ParquetSnapshotSink:
         buckets: base files, plus — in merge-on-read layouts — the LWW
         merge of base ∪ delta files at read time. Row-unique tiebreak
         for the hash-path reduce comes free from ``input_file_name``
-        (any key appears at most once per file)."""
+        (any key appears at most once per file).
+
+        Read-path pruning: only DIRTY buckets (those with delta files)
+        pay the merge shuffle; clean buckets' base files are read
+        straight through and unioned in. In the steady state —
+        compaction keeps most buckets clean — a read shuffles only the
+        recently-touched slice of the table instead of all of it."""
         store = storage_schema(schema)
-        base = self._bucket_paths(man, buckets)
-        deltas = self._delta_paths(man, buckets)
-        if not base and not deltas:
-            return self.spark.createDataFrame([], store)
-        if not deltas:  # clean (compacted / copy-on-write) fast path
-            return self.spark.read.schema(store).parquet(*base)
-        allrows = (
-            self.spark.read.schema(store)
-            .parquet(*base, *deltas)
-            .withColumn("__file", F.xxhash64(F.input_file_name()))
+        dirty = {int(b) for b, dd in man.get("deltas", {}).items() if dd}
+        if buckets is not None:
+            dirty &= set(buckets)
+        clean_buckets = (
+            [b for b in (buckets if buckets is not None else
+                         [int(x) for x in man.get("buckets", {})]) if b not in dirty]
         )
-        merged = lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file"))
-        return merged.drop("__file")
+        base_clean = self._bucket_paths(man, clean_buckets)
+        parts: list[DataFrame] = []
+        if base_clean:
+            parts.append(self.spark.read.schema(store).parquet(*base_clean))
+        if dirty:
+            dl = sorted(dirty)
+            allrows = (
+                self.spark.read.schema(store)
+                .parquet(*self._bucket_paths(man, dl), *self._delta_paths(man, dl))
+                .withColumn("__file", F.xxhash64(F.input_file_name()))
+            )
+            parts.append(lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file")).drop("__file"))
+        if not parts:
+            return self.spark.createDataFrame([], store)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_table(self, version: int | None = None) -> DataFrame:
         """Committed snapshot: live rows, payload columns only.

@@ -298,6 +298,29 @@ def test_mor_compaction_preserves_table_and_speeds_reads(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_mor_read_prunes_clean_buckets(spark, tmp_path):
+    """Partial compaction: clean buckets must read straight from base
+    files (no merge shuffle), only dirty buckets pay the LWW reduce —
+    and the table still equals the oracle."""
+    _gen(tmp_path, seed=61, n_conversations=80)
+    cfg = _engine_cfg(tmp_path, table_mode="mor")
+    replay_batch(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    dirty = [int(b) for b, dd in sink.load_manifest()["deltas"].items() if dd]
+    assert len(dirty) >= 2
+    sink.compact(dirty[: len(dirty) // 2])  # compact half the buckets
+    table = sink.read_table()
+    _assert_table_equal(table, _oracle(spark, cfg.changes_dir))
+    plan = table._sc._jvm.PythonSQLUtils.explainString(table._jdf.queryExecution(), "simple")
+    # one merge branch (dirty buckets) + one plain-scan branch (clean)
+    assert "Union" in plan and plan.count("ShuffledHashJoin") == 1
+    sink.compact()  # compact the rest → pure scan, no join at all
+    plan2 = sink.read_table()
+    p2 = plan2._sc._jvm.PythonSQLUtils.explainString(plan2._jdf.queryExecution(), "simple")
+    assert "ShuffledHashJoin" not in p2 and "Join" not in p2
+    _assert_table_equal(plan2, _oracle(spark, cfg.changes_dir))
+
+
 def test_mor_auto_compaction_in_stream(spark, tmp_path):
     """compact_after_deltas triggers compaction inside the streaming
     loop once a bucket accumulates that many deltas; final table still
