@@ -145,34 +145,48 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     null_key = np.zeros(n_ev, dtype=bool)
     null_key[bad_idx[n_bad // 2 :]] = True  # null key
 
-    conv_pa = pa.array(conv)
-    seq_str = pc.cast(pa.array(seq), pa.string())
-    null_str = pa.scalar(None, pa.string())
-    conv_id = pc.if_else(
-        pa.array(null_key),
-        null_str,
-        pc.binary_join_element_wise(
-            "conv-", pc.utf8_lpad(pc.cast(conv_pa, pa.string()), 8, "0"), ""
-        ),
-    )
-    op_lut = pa.array(["I", "U", "D", "X"])
     op_i = np.where(op == "I", 0, np.where(op == "U", 1, 2)).astype("int8")
     op_i[bad_op] = 3
-    op_col = pc.take(op_lut, pa.array(op_i))
-    del_mask = pa.array(is_del)
-    role = pc.if_else(del_mask, null_str, pc.take(pa.array(list(_ROLES)), pa.array(role_idx)))
-    # suffix makes every (key, seq) text unique and byte-deterministic
-    text = pc.if_else(
-        del_mask,
-        null_str,
-        pc.binary_join_element_wise(
-            pc.take(pa.array(list(pool)), pa.array(base_idx)),
-            " [c", pc.cast(conv_pa, pa.string()),
-            " t", pc.cast(pc.cast(pa.array(turn), pa.int64()), pa.string()),
-            " s", seq_str, "]", "",
-        ),
-    )
-    tool_null = pa.array(is_del | (role_idx != 3))
+    _OP_LUT = pa.array(["I", "U", "D", "X"])
+    _ROLE_LUT = pa.array(list(_ROLES))
+    _TOOL_LUT = pa.array(list(_TOOLS))
+    _POOL_LUT = pa.array(list(pool))
+    _NULL_STR = pa.scalar(None, pa.string())
+
+    # String columns are materialized PER SELECTION (segment), never for
+    # the whole log at once: a 60M-event log's text column is ~8 GB,
+    # past pyarrow's 2 GB int32-offset limit for one string array — and
+    # per-segment construction also bounds peak memory.
+    def _string_cols(sel: np.ndarray, with_tool: bool) -> dict[str, pa.Array]:
+        conv_pa = pa.array(conv[sel])
+        del_m = pa.array(is_del[sel])
+        out = {
+            "op": pc.take(_OP_LUT, pa.array(op_i[sel])),
+            "conv_id": pc.if_else(
+                pa.array(null_key[sel]),
+                _NULL_STR,
+                pc.binary_join_element_wise(
+                    "conv-", pc.utf8_lpad(pc.cast(conv_pa, pa.string()), 8, "0"), ""
+                ),
+            ),
+            "role": pc.if_else(del_m, _NULL_STR, pc.take(_ROLE_LUT, pa.array(role_idx[sel]))),
+            # suffix makes every (key, seq) text unique and byte-deterministic
+            "text": pc.if_else(
+                del_m,
+                _NULL_STR,
+                pc.binary_join_element_wise(
+                    pc.take(_POOL_LUT, pa.array(base_idx[sel])),
+                    " [c", pc.cast(conv_pa, pa.string()),
+                    " t", pc.cast(pc.cast(pa.array(turn[sel]), pa.int64()), pa.string()),
+                    " s", pc.cast(pa.array(seq[sel]), pa.string()), "]", "",
+                ),
+            ),
+        }
+        if with_tool:
+            out["tool"] = pc.if_else(
+                pa.array(tool_null[sel]), _NULL_STR, pc.take(_TOOL_LUT, pa.array(tool_idx[sel]))
+            )
+        return out
 
     # --- schema-evolution epoch boundary (commit-time, i.e. by seq) ----
     # An event's schema is fixed when it is committed to the log: events
@@ -183,11 +197,7 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     epoch1_until = min(int(cfg.n_segments * cfg.epoch1_fraction), cfg.n_segments)
     _idx = min(int(n_ev * cfg.epoch1_fraction), n_ev)
     epoch_bound_seq = int(seq[_idx - 1]) if (epoch1_until and _idx > 0) else 0
-    tool = pc.if_else(
-        pc.or_(tool_null, pa.array(seq <= epoch_bound_seq)),
-        null_str,
-        pc.take(pa.array(list(_TOOLS)), pa.array(tool_idx)),
-    )
+    tool_null = is_del | (role_idx != 3) | (seq <= epoch_bound_seq)
 
     # --- delivery order: bounded disorder + duplicates ------------------
     jitter = rng.integers(0, cfg.disorder_window + 1, n_ev)
@@ -218,18 +228,18 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     ext = "json" if cfg.file_format == "json" else "parquet"
     for s in range(cfg.n_segments):
         sel = delivery[bounds[s] : bounds[s + 1]]
-        sel_pa = pa.array(sel)
         fname = f"seg-{s:05d}.{ext}"
+        strings = _string_cols(sel, with_tool=s >= epoch1_until)
         cols: dict[str, pa.Array] = {
             "seq": pa.array(seq[sel]),
-            "op": pc.take(op_col, sel_pa),
-            "conv_id": pc.take(conv_id, sel_pa),
+            "op": strings["op"],
+            "conv_id": strings["conv_id"],
             "turn_idx": pa.array(turn[sel], pa.int32()),
-            "role": pc.take(role, sel_pa),
-            "text": pc.take(text, sel_pa),
+            "role": strings["role"],
+            "text": strings["text"],
         }
         if s >= epoch1_until:
-            cols["tool"] = pc.take(tool, sel_pa)
+            cols["tool"] = strings["tool"]
         cols["ts"] = pa.array(ts_col[sel], pa.timestamp("us"))
         cols["source_file"] = pc.take(
             pa.array([fname]), pa.array(np.zeros(sel.size, dtype="int64"))

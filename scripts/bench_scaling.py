@@ -56,7 +56,10 @@ def run_at(cpus: int, sf_dir: str, reps: int = REPS) -> dict:
         # unrestricted 32-core host would still use idle cores for GC,
         # parquet codec and OS I/O work, corrupting the N→4N comparison.
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")]
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO)
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"bench.py failed at {cpus} cores (rc={out.returncode})")
         res = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or res["cdc_events_per_sec"] > best["cdc_events_per_sec"]:
             best = res
@@ -103,6 +106,34 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # Pre-generate the shared change log UNPINNED (full cores): the
+    # pinned runs then find it cached, so generation time never leaks
+    # into (or throttles under) a 2-core CPU set.
+    sys.path.insert(0, REPO)
+    import json as _json
+
+    from oec_etl_spark.generate import GeneratorConfig, generate_changelog
+
+    import tempfile
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    workdir = os.environ.get(
+        "BENCH_CDC_DIR", os.path.join(tempfile.gettempdir(), f"oec_bench_cdc_sf{sf}")
+    )
+    meta = os.path.join(workdir, "changes", "_meta.json")
+    have = _json.load(open(meta))["config"]["n_conversations"] if os.path.exists(meta) else None
+    if have != N_CONV:
+        import shutil
+
+        shutil.rmtree(os.path.join(workdir, "changes"), ignore_errors=True)
+        generate_changelog(GeneratorConfig(
+            out_dir=os.path.join(workdir, "changes"), seed=42, n_conversations=N_CONV,
+            max_turns=12, update_ratio=0.8, delete_ratio=0.05, duplicate_rate=0.05,
+            n_segments=32, n_hot=5, hot_frac=0.3,
+        ))
     t0 = time.time()
     results: dict[int, dict] = {}
     for n, n4 in PAIRS:
