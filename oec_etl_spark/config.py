@@ -33,6 +33,11 @@ class EngineConfig:
     # mor only: compact a bucket inside the streaming loop once it has
     # accumulated this many delta files (None = manual compact() only).
     compact_after_deltas: int | None = None
+    # Snapshot retention inside the streaming loop: after each commit,
+    # expire all but the newest N snapshots (None = keep everything /
+    # manual expire_snapshots() only). Long-running tails need this or
+    # the manifest chain and superseded data versions grow unboundedly.
+    expire_keep_last: int | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

@@ -300,10 +300,16 @@ def cc_two_phase(pairs: DataFrame, max_iter: int = 20) -> tuple[DataFrame, int]:
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
-    # star forest: non-roots point at the component min; roots label themselves
-    labels = a.select("u", F.col("v").alias("lbl")).unionByName(
-        a.select(F.col("v").alias("u"), F.col("v").alias("lbl"))
-    ).distinct()
+    # star forest: non-roots point at the component min; roots label
+    # themselves. The min-agg guards the max_iter-exhausted case (a
+    # not-yet-star edge set could list a node under two labels; one
+    # label per node is an invariant callers join on).
+    labels = (
+        a.select("u", F.col("v").alias("lbl"))
+        .unionByName(a.select(F.col("v").alias("u"), F.col("v").alias("lbl")))
+        .groupBy("u")
+        .agg(F.min("lbl").alias("lbl"))
+    )
     return labels, rounds
 
 

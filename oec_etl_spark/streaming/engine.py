@@ -102,6 +102,12 @@ def _build_query(
             ]
             if due:
                 sink.compact(due)
+        # retention: a long-running tail must not accumulate manifests /
+        # superseded data versions forever. Expiry never deletes files a
+        # kept snapshot references, so readers of kept snapshots are
+        # unaffected (the expire_snapshots guarantee).
+        if cfg.expire_keep_last:
+            sink.expire_snapshots(keep_last=cfg.expire_keep_last)
 
     src_path, src_format = _resolve_source(cfg)
     reader = spark.readStream.schema(CHANGE_SCHEMA).format(src_format)

@@ -298,6 +298,20 @@ def test_mor_compaction_preserves_table_and_speeds_reads(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_stream_retention_expires_old_snapshots(spark, tmp_path):
+    """expire_keep_last: the streaming loop trims the manifest chain to
+    the newest N snapshots after each commit — a long-running tail
+    cannot grow manifests/superseded versions unboundedly — and the
+    final table still equals the oracle."""
+    _gen(tmp_path, seed=71, n_conversations=60, n_segments=6)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=1, expire_keep_last=2)
+    recs = run_replay(spark, cfg)
+    assert len(recs) >= 5  # many commits...
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    assert len(sink.history()) <= 2  # ...but only the newest 2 retained
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
 def test_mor_read_prunes_clean_buckets(spark, tmp_path):
     """Partial compaction: clean buckets must read straight from base
     files (no merge shuffle), only dirty buckets pay the LWW reduce —
