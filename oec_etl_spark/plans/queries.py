@@ -1195,5 +1195,146 @@ def media_feature_sum(spark, sf_dir):
     )
 
 
+# =====================================================================
+# CDC table services: SCD2 history + change-data-feed (round 2)
+# =====================================================================
+
+@_register(
+    "events_scd2_history",
+    """
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+    tags="SCD Type-2: per-version validity intervals from the change stream, one shuffle",
+)
+def events_scd2_history(spark, sf_dir):
+    from oec_etl_spark.operators.scd import scd2
+
+    e = load(spark, sf_dir, "events")
+    return scd2(e, keys=("user_id",), order=("ts", "event_id")).select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+@_register(
+    "events_cdf_window",
+    """
+    WITH old_w AS (
+      SELECT user_id, event_id, round(value, 4) AS value, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id < 5000) WHERE rn = 1 AND event_type <> 'error'
+    ), new_w AS (
+      SELECT user_id, event_id, round(value, 4) AS value, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT CASE WHEN n.user_id IS NULL THEN o.user_id ELSE n.user_id END AS user_id,
+           CASE WHEN n.user_id IS NULL THEN o.event_id ELSE n.event_id END AS event_id,
+           CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END AS value,
+           CASE WHEN n.user_id IS NULL THEN o.ts ELSE n.ts END AS ts,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS _change_type
+    FROM old_w o FULL JOIN new_w n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_id IS DISTINCT FROM n.event_id
+       OR o.value IS DISTINCT FROM n.value
+       OR o.ts IS DISTINCT FROM n.ts
+    """,
+    tags="change-data-feed: net row diff between two LWW snapshot states ('error' = delete)",
+)
+def events_cdf_window(spark, sf_dir):
+    from oec_etl_spark.operators.cdf import table_diff
+
+    e = load(spark, sf_dir, "events")
+
+    def state(df):
+        w = lww_reduce(df, keys=("user_id",), order=("ts", "event_id"))
+        return w.filter(F.col("event_type") != "error").select(
+            "user_id", "event_id", F.round("value", 4).alias("value"), "ts"
+        )
+
+    old = state(e.filter(F.col("event_id") < 5000))
+    new = state(e)
+    return table_diff(old, new, keys=("user_id",))
+
+
+# =====================================================================
+# Aggregation breadth: cube, pivot, statistical aggregates (round 2)
+# =====================================================================
+
+@_register(
+    "orders_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags="CUBE aggregate with grouping_id (all 4 grouping sets in one pass)",
+)
+def orders_cube(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "events_pivot_daily",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+    tags="pivot: wide per-day event-type counts (explicit value list keeps columns deterministic)",
+)
+def events_pivot_daily(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        # the explicit value list avoids the extra distinct-scan Spark
+        # otherwise runs to discover pivot columns — and makes the
+        # output schema deterministic for downstream writers
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@_register(
+    "lineitem_stats_agg",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_qp,
+           round(stddev_samp(l_quantity), 6)                  AS sd_qty,
+           round(var_samp(l_discount), 6)                     AS var_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags="statistical aggregates: corr/covar/stddev/variance (single pass, map-side partials)",
+)
+def lineitem_stats_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

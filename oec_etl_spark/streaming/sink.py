@@ -274,6 +274,19 @@ class ParquetSnapshotSink:
         df = self._read_current(man, schema)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
+    def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-feed between two committed snapshots (Iceberg's
+        incremental changelog scan / Delta CDF analog): one net row per
+        inserted/deleted/updated key with ``_change_type``, computed as
+        a key-bucketed full-outer diff of the two states. Both sides
+        come off the same hash-bucket layout, so at cluster scale the
+        diff join shuffles co-located data only."""
+        from oec_etl_spark.operators.cdf import table_diff
+
+        old = self.read_table(from_version)
+        new = self.read_table(to_version)
+        return table_diff(old, new, keys=KEY_COLUMNS)
+
     def _read_stored_as_changes(self, man: dict, schema: T.StructType, buckets: list[int]) -> DataFrame:
         """Affected buckets' current rows, lifted back into change shape
         so the merge is one LWW reduce over (old ∪ new)."""
