@@ -38,6 +38,16 @@ class EngineConfig:
     # manual expire_snapshots() only). Long-running tails need this or
     # the manifest chain and superseded data versions grow unboundedly.
     expire_keep_last: int | None = None
+    # Upstream redelivery dedup (streaming paths only): when set, exact
+    # redeliveries — same (conv_id, turn_idx, seq) — are dropped BEFORE
+    # the merge via dropDuplicatesWithinWatermark, with dedup state
+    # bounded by this event-time horizon. The merge is idempotent either
+    # way; this knob trades a little dedup state for not shuffling a
+    # duplicate-heavy log's redundant payload rows at all. MUST be ≥ the
+    # transport's delivery-disorder bound: an event arriving later than
+    # the watermark is dropped as late (standard watermark semantics).
+    # Null-ts events bypass dedup and flow to the merge untouched.
+    dedup_watermark: str | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

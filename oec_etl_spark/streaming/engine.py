@@ -114,6 +114,17 @@ def _build_query(
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
     stream = reader.load(src_path)
+    if cfg.dedup_watermark:
+        # Streaming-native redelivery dedup upstream of the merge:
+        # state is keyed by (conv_id, turn_idx, seq) and evicted once
+        # event time passes the watermark. Null-ts rows can't be
+        # watermarked — they bypass dedup (the idempotent merge still
+        # neutralizes their duplicates) instead of being dropped.
+        with_ts = stream.filter(F.col("ts").isNotNull())
+        deduped = with_ts.withWatermark("ts", cfg.dedup_watermark).dropDuplicatesWithinWatermark(
+            ["conv_id", "turn_idx", "seq"]
+        )
+        stream = deduped.unionByName(stream.filter(F.col("ts").isNull()))
     return stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", cfg.checkpoint_dir
     )
