@@ -1336,5 +1336,105 @@ def lineitem_stats_agg(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Subquery breadth: scalar / correlated / EXISTS (round 2)
+# =====================================================================
+
+@_register(
+    "orders_above_avg_price",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags="scalar subquery: filter against a single-row aggregate (broadcast into the scan filter)",
+)
+def orders_above_avg_price(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM _orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _orders_sq)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "customers_above_nation_avg",
+    """
+    SELECT c_nationkey, count(*) AS n_above
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c_nationkey
+    """,
+    tags="correlated scalar subquery: Catalyst de-correlates to an aggregate + equi-join",
+)
+def customers_above_nation_avg(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_customer_sq")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_above
+        FROM _customer_sq c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM _customer_sq c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@_register(
+    "late_order_priority_count",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags="EXISTS subquery (TPC-H Q4 shape): planned as a left-semi join",
+)
+def late_order_priority_count(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_orders_ex")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem_ex")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM _orders_ex o
+        WHERE EXISTS (SELECT 1 FROM _lineitem_ex l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags="conditional-aggregate ratio (TPC-H Q14 shape), part dim broadcast",
+)
+def promo_revenue_share(spark, sf_dir):
+    li, p = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)) / F.sum(rev), 4
+            ).alias("promo_share_pct")
+        )
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

@@ -45,6 +45,9 @@ def run_at(cpus: int, sf_dir: str, reps: int = REPS) -> dict:
             "SPARK_GRAFT_CPUS": str(cpus),
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "BENCH_MODE": "cdc",
+            # this script does its own best-of-REPS across fresh JVMs;
+            # bench.py's internal same-JVM reps would double-count
+            "BENCH_REPS": "1",
             "BENCH_CDC_CONV": str(N_CONV),
             # Per-core-constant heap (2 GB/core): on a real N→4N cluster
             # every executor brings its own memory, so per-core memory
