@@ -72,12 +72,13 @@ def storage_schema(payload: T.StructType = TRANSCRIPT_SCHEMA) -> T.StructType:
 
 
 # Type-widening lattice for schema reconciliation (safe, lossless only).
+# keys/values are DataType.simpleString() names — what _widen looks up
 WIDENING: dict[tuple[str, str], str] = {
-    ("short", "integer"): "integer",
-    ("short", "long"): "long",
-    ("integer", "long"): "long",
+    ("smallint", "int"): "int",
+    ("smallint", "bigint"): "bigint",
+    ("int", "bigint"): "bigint",
     ("float", "double"): "double",
-    ("integer", "double"): "double",
-    ("long", "double"): "double",
+    ("int", "double"): "double",
+    ("bigint", "double"): "double",
     ("date", "timestamp"): "timestamp",
 }

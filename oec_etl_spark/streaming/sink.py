@@ -513,6 +513,30 @@ def iceberg_create_table_sql(
     )
 
 
+def iceberg_evolve_sql(
+    table: str,
+    current: T.StructType,
+    evolved: T.StructType,
+) -> list[str]:
+    """DDL bringing an Iceberg target from ``current`` to ``evolved``
+    (the output of ``reconcile.evolve_schema``): one ``ADD COLUMNS``
+    for appended fields + one ``ALTER COLUMN .. TYPE`` per widened
+    field. Iceberg resolves columns by field-id, so both operations are
+    metadata-only — no data rewrite at any scale."""
+    cur = {f.name: f.dataType for f in current.fields}
+    stmts: list[str] = []
+    added = [f for f in evolved.fields if f.name not in cur]
+    if added:
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in added)
+        stmts.append(f"ALTER TABLE {table} ADD COLUMNS ({cols})")
+    for f in evolved.fields:
+        if f.name in cur and cur[f.name] != f.dataType:
+            stmts.append(
+                f"ALTER TABLE {table} ALTER COLUMN {f.name} TYPE {f.dataType.simpleString().upper()}"
+            )
+    return stmts
+
+
 def iceberg_merge_sql(
     table: str,
     source_view: str = "_cdc_winners",
@@ -562,6 +586,20 @@ class IcebergMergeSink:
             )
 
     def merge(self, changes: DataFrame, batch_id: int, quarantined: int = 0) -> BatchLineage:  # pragma: no cover
+        # schema evolution first (metadata-only DDL), from the same
+        # widening lattice the snapshot sink uses
+        inc = payload_schema(changes, exclude=_ENVELOPE)
+        try:
+            current = self.spark.table(self.table).schema
+        except Exception:
+            current = None
+        if current is not None:
+            cur_payload = T.StructType(
+                [f for f in current.fields if f.name not in (META_SEQ, META_DELETED)]
+            )
+            evolved = evolve_schema(cur_payload, inc)
+            for stmt in iceberg_evolve_sql(self.table, cur_payload, evolved):
+                self.spark.sql(stmt)
         kw = lww_reduce(changes)
         kw.createOrReplaceTempView("_cdc_winners")
         self.spark.sql(iceberg_merge_sql(self.table))

@@ -430,6 +430,31 @@ def test_type_widening_across_batches(spark, tmp_path):
     assert got == {"c1": None, "c2": 1.5, "c3": 2.5}
 
 
+def test_int_to_long_widening_across_batches(spark, tmp_path):
+    """int→bigint widening through the real merge (regression: the
+    widening lattice was keyed by API type names, not simpleString
+    names, so int→bigint raised SchemaConflict)."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    base = "seq long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp"
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), 4)
+    sink.merge(
+        spark.createDataFrame([(1, "I", "c1", 0, "u", "a", t, 7)], base + ", latency_ms int"),
+        batch_id=0,
+    )
+    sink.merge(
+        spark.createDataFrame(
+            [(2, "I", "c2", 0, "u", "b", t, 5_000_000_000)], base + ", latency_ms long"
+        ),
+        batch_id=1,
+    )
+    out = sink.read_table()
+    assert dict(out.dtypes)["latency_ms"] == "bigint"
+    got = {r["conv_id"]: r["latency_ms"] for r in out.collect()}
+    assert got == {"c1": 7, "c2": 5_000_000_000}
+
+
 def test_incompatible_type_change_raises(spark, tmp_path):
     from oec_etl_spark.streaming.reconcile import SchemaConflict
     import datetime as dt

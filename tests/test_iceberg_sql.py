@@ -62,3 +62,52 @@ def test_statements_parse_as_valid_spark_sql(spark, stmt):
         else iceberg_merge_sql("db.t")
     )
     spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)  # raises on bad syntax
+
+
+def test_evolve_sql_add_and_widen():
+    from pyspark.sql import types as T
+
+    from oec_etl_spark.streaming.reconcile import evolve_schema
+    from oec_etl_spark.streaming.sink import iceberg_evolve_sql
+
+    current = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+        ]
+    )
+    incoming = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.LongType()),   # widen int -> bigint
+            T.StructField("score", T.DoubleType()),    # widen float -> double
+            T.StructField("tool", T.StringType()),     # new column
+            T.StructField("latency_ms", T.LongType()), # new column
+        ]
+    )
+    evolved = evolve_schema(current, incoming)
+    stmts = iceberg_evolve_sql("db.t", current, evolved)
+    assert stmts[0] == "ALTER TABLE db.t ADD COLUMNS (tool STRING, latency_ms BIGINT)"
+    assert "ALTER TABLE db.t ALTER COLUMN turn_idx TYPE BIGINT" in stmts
+    assert "ALTER TABLE db.t ALTER COLUMN score TYPE DOUBLE" in stmts
+    assert len(stmts) == 3
+
+
+def test_evolve_sql_noop_when_schema_unchanged():
+    from oec_etl_spark.streaming.sink import iceberg_evolve_sql
+
+    assert iceberg_evolve_sql("db.t", TRANSCRIPT_SCHEMA, TRANSCRIPT_SCHEMA) == []
+
+
+def test_evolve_sql_parses_as_valid_spark_sql(spark):
+    from pyspark.sql import types as T
+
+    from oec_etl_spark.streaming.sink import iceberg_evolve_sql
+
+    current = T.StructType([T.StructField("a", T.IntegerType())])
+    evolved = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    for sql in iceberg_evolve_sql("db.t", current, evolved):
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
