@@ -1436,5 +1436,111 @@ def promo_revenue_share(spark, sf_dir):
     )
 
 
+@_register(
+    "doc_tfidf_topterms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term FROM documents,
+             UNNEST(string_split(text, ' ')) AS t(term)
+      WHERE t.term <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+    SELECT doc_id, term, CAST(rnk AS INT) AS rnk,
+           round(tfidf, 6) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term
+             ) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+    tags="TF-IDF top-terms: tokenize → tf → df → idf join → per-doc top-k, all built-ins",
+)
+def doc_tfidf_topterms(spark, sf_dir):
+    """Multi-stage text-scoring pipeline with zero Python in the row
+    path: explode+groupBy for tf, a second aggregate for df (its
+    output is vocabulary-sized — AQE broadcasts the join back), and a
+    per-doc window for the top-k. At 100 TB the only wide exchanges
+    are the two (doc_id|term) hash aggregates; both combine map-side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = toks.select(F.count_distinct("doc_id").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term"))
+    return (
+        tf.join(df, "term").crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.col("rnk").cast("int").alias("rnk"),
+                F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+def _split_sql() -> str:
+    from oec_etl_spark.operators.sampling import hash_split_sql
+
+    return hash_split_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s0")
+
+
+def _sample_sql() -> str:
+    from oec_etl_spark.operators.sampling import hash_sample_sql
+
+    return hash_sample_sql("doc_id", 0.25, seed="bal")
+
+
+@_register(
+    "doc_hash_split",
+    f"""
+    SELECT split, lang, count(*) AS n
+    FROM (SELECT lang, {_split_sql()} AS split FROM documents)
+    GROUP BY 1, 2
+    """,
+    tags="deterministic train/val/test split by hash-mod bucket (stable across runs/appends)",
+    bench_build=lambda spark, sf_dir: __import__("oec_etl_spark.operators.sampling", fromlist=["hash_split"]).hash_split(
+        load(spark, sf_dir, "documents"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, portable_hash=False,
+    ).groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n")),
+)
+def doc_hash_split(spark, sf_dir):
+    from oec_etl_spark.operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s0", portable_hash=True)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "doc_hash_sample",
+    f"""
+    SELECT lang, count(*) AS n, min(doc_id) AS min_id
+    FROM documents WHERE {_sample_sql()}
+    GROUP BY 1
+    """,
+    tags="deterministic hash downsample (reproducible independent of partitioning/retries)",
+)
+def doc_hash_sample(spark, sf_dir):
+    from oec_etl_spark.operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        hash_sample(d, "doc_id", 0.25, seed="bal", portable_hash=True)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

@@ -97,3 +97,50 @@ def test_asof_carries_nulls_from_single_latest_row(spark):
     left2 = spark.createDataFrame([("k", 0, "L0")], "k string, ts long, tag string")
     out2 = asof_join(left2, right, on="k", ts="ts", right_cols=["value", "eid"]).collect()
     assert out2[0]["value_asof"] is None and out2[0]["eid_asof"] is None
+
+
+# ---------------------------------------------------------------- sampling
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from oec_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, "doc_id", splits).collect()
+    b = hash_split(df.repartition(17), "doc_id", splits).collect()
+    assert {(r["doc_id"], r["split"]) for r in a} == {(r["doc_id"], r["split"]) for r in b}
+    frac = {s: sum(1 for r in a if r["split"] == s) / len(a) for s in splits}
+    for name, target in splits.items():
+        assert abs(frac[name] - target) < 0.03, (name, frac[name])
+
+
+def test_hash_split_appends_are_stable(spark):
+    """Rows hashed later (a corpus append) never change earlier rows'
+    assignment — the property random-split lacks."""
+    from oec_etl_spark.operators.sampling import hash_split
+
+    splits = {"train": 0.8, "test": 0.2}
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", splits).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id", splits).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_sample_is_subset_semantics(spark):
+    from oec_etl_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    kept10 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.10, seed="x").collect()}
+    kept30 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.30, seed="x").collect()}
+    assert kept10 <= kept30  # nested samples: raising the rate only adds rows
+    assert abs(len(kept30) / 4000 - 0.30) < 0.03
+
+
+def test_hash_split_fraction_validation(spark):
+    import pytest
+
+    from oec_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})
