@@ -155,3 +155,22 @@ def test_stateful_running_totals(spark, tmp_path):
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
     assert got.agg(F.max("updates")).head()[0] >= 2  # state really crossed batches
+
+
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    """Sliding windows (1 hour, slide 15 min): each event lands in 4
+    overlapping windows; the streaming result must equal the identical
+    batch computation."""
+    src = _stream_dir(tmp_path)
+    build = lambda s: W.tumbling_counts(s, "1 hour", "0 seconds", slide="15 minutes")  # noqa: E731
+    got = _run_stream(spark, src, build, str(tmp_path / "ck_slide"), mode="complete", per_trigger=3)
+    want = build(spark.read.schema(EVENT_SCHEMA).parquet(src))
+    assert got.count() > want.filter(F.lit(False)).count()  # non-empty
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # overlap sanity: sliding windows produce ~4x the distinct windows
+    n_slide = want.select("window_start").distinct().count()
+    n_tumble = (
+        W.tumbling_counts(spark.read.schema(EVENT_SCHEMA).parquet(src), "1 hour", "0 seconds")
+        .select("window_start").distinct().count()
+    )
+    assert n_slide > 2 * n_tumble
