@@ -1542,5 +1542,24 @@ def doc_hash_sample(spark, sf_dir):
     )
 
 
+@_register(
+    "events_approx_users_daily",
+    """
+    SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY 1
+    """,
+    tags="HLL sketch distinct (DataSketches, mergeable): oracle is the exact count — below "
+         "~3/4·2^lg_k distincts the sketch is in exact coupon mode, so at oracle scale "
+         "estimate == exact; at 10^10 rows the same plan ships 4 KB partials instead of "
+         "shuffling every distinct user",
+)
+def events_approx_users_daily(spark, sf_dir):
+    from oec_etl_spark.functions import sketches as sk
+
+    e = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    out = sk.approx_distinct(e, "user_id", by=["day"], lg_k=12)
+    return out.select("day", F.col("approx_distinct_user_id").cast("long").alias("approx_users"))
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]
