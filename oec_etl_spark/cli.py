@@ -13,6 +13,9 @@ idempotent command surface::
                     incremental mode (processingTime trigger, same checkpoint)
         verify  --changes DIR --target DIR   # table == batch oracle?
         lineage --target DIR                 # print per-batch lineage JSONL
+        changelog --target DIR --from-version V [--to-version W]  # CDF feed
+        rebucket  --target DIR --new-buckets N   # bucket-layout evolution
+        history   --target DIR                   # snapshot versions
 
 `replay` and `resume` are deliberately the same code path — restarting
 the streaming query against the same checkpointLocation continues from
@@ -108,6 +111,37 @@ def cmd_compact(spark, args) -> int:
     return 0
 
 
+def cmd_changelog(spark, args) -> int:
+    """Print the net change feed between two snapshot versions (CDF):
+    one JSON line per changed key."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    feed = sink.changelog(args.from_version, args.to_version)
+    for row in feed.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
+def cmd_rebucket(spark, args) -> int:
+    """Bucket-layout evolution: rewrite the table into N buckets."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    written = sink.rebucket(args.new_buckets)
+    man = sink.load_manifest()
+    print(json.dumps({"n_buckets": man["n_buckets"], "buckets_written": written, "version": man["version"]}))
+    return 0
+
+
+def cmd_history(spark, args) -> int:
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    for h in ParquetSnapshotSink(spark, args.target, args.buckets).history():
+        print(json.dumps(h))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -122,12 +156,18 @@ def cmd_lineage(spark, args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("replay", "resume", "tail", "verify", "lineage", "compact"):
+    for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
+                 "changelog", "rebucket", "history"):
         sp = sub.add_parser(name)
-        if name not in ("lineage", "compact"):
+        if name in ("replay", "resume", "tail", "verify"):
             sp.add_argument("--changes", required=True)
             sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
         sp.add_argument("--target", required=True)
+        if name == "changelog":
+            sp.add_argument("--from-version", type=int, required=True)
+            sp.add_argument("--to-version", type=int, default=None)
+        if name == "rebucket":
+            sp.add_argument("--new-buckets", type=int, required=True)
         if name in ("replay", "resume", "tail"):
             sp.add_argument("--checkpoint", required=True)
             sp.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -154,6 +194,12 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_verify(spark, args)
         if args.cmd == "compact":
             return cmd_compact(spark, args)
+        if args.cmd == "changelog":
+            return cmd_changelog(spark, args)
+        if args.cmd == "rebucket":
+            return cmd_rebucket(spark, args)
+        if args.cmd == "history":
+            return cmd_history(spark, args)
         return cmd_lineage(spark, args)
     finally:
         spark.stop()

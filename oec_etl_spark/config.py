@@ -48,6 +48,15 @@ class EngineConfig:
     # the watermark is dropped as late (standard watermark semantics).
     # Null-ts events bypass dedup and flow to the merge untouched.
     dedup_watermark: str | None = None
+    # Change-stream fan-out (Debezium-style table routing): name →
+    # boolean SQL predicate over the change columns. Each route merges
+    # into its own snapshot table under ``target_dir/<name>``, each with
+    # its own committed-batch epoch guard — a crash after route A
+    # committed but before route B restarts the batch, A skips it as
+    # committed, B applies it: exactly-once per target. Routes may
+    # overlap (a row can feed several targets); rows matching no route
+    # are counted per batch and dropped (route '*' catches the rest).
+    routes: dict[str, str] | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

@@ -1561,5 +1561,27 @@ def events_approx_users_daily(spark, sf_dir):
     return out.select("day", F.col("approx_distinct_user_id").cast("long").alias("approx_users"))
 
 
+@_register(
+    "events_sliding_rollup",
+    """
+    SELECT CAST(to_timestamp(bucket0 - k * 900) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n
+    FROM (SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket0, event_type
+          FROM events),
+         UNNEST([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1, 2
+    """,
+    tags="sliding windows in batch (1h window / 15min slide): each event lands in 4 "
+         "overlapping windows; same F.window op the streaming path uses",
+)
+def events_sliding_rollup(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

@@ -33,6 +33,13 @@ from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 VALID_OPS = ("I", "U", "D")
 
 
+def _any(cols) -> F.Column:
+    out = F.lit(False)
+    for c in cols:
+        out = out | c
+    return out
+
+
 def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
     """(path, format) of the change log. With ``cfg.connectors_path``
     set, ``changes_dir`` is a connector NAME resolved through the
@@ -67,11 +74,21 @@ def _build_query(
 ):
     """Shared stream construction for backfill and tail: reader +
     quarantine + MERGE foreachBatch, everything but the trigger."""
-    sink = ParquetSnapshotSink(
-        spark, cfg.target_dir, cfg.n_buckets,
-        hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
-        merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
-    )
+
+    def mk_sink(target_dir: str) -> ParquetSnapshotSink:
+        return ParquetSnapshotSink(
+            spark, target_dir, cfg.n_buckets,
+            hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
+            merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
+        )
+
+    if cfg.routes:
+        # fan-out: one sink (and one epoch guard) per route target;
+        # route order is the dict order so a mid-batch crash resumes
+        # deterministically — already-committed targets skip the batch
+        sinks = {name: mk_sink(f"{cfg.target_dir}/{name}") for name in cfg.routes}
+    else:
+        sink = mk_sink(cfg.target_dir)
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -85,29 +102,49 @@ def _build_query(
             if n_bad:
                 bad.write.mode("append").parquet(cfg.quarantine_dir)
             bad.unpersist()
+        def housekeep(s: ParquetSnapshotSink) -> None:
+            # mor housekeeping: fold a bucket's deltas into its base once
+            # the read-amplification bound is hit (Iceberg's
+            # rewrite_data_files on a trigger). Runs between commits —
+            # crash-safe because compaction is itself an atomic manifest
+            # swap and the epoch guard makes the next merge skip nothing.
+            if cfg.table_mode == "mor" and cfg.compact_after_deltas:
+                man = s.load_manifest()
+                due = [
+                    int(b)
+                    for b, dd in (man or {}).get("deltas", {}).items()
+                    if len(dd) >= cfg.compact_after_deltas
+                ]
+                if due:
+                    s.compact(due)
+            # retention: a long-running tail must not accumulate
+            # manifests / superseded data versions forever. Expiry never
+            # deletes files a kept snapshot references, so readers of
+            # kept snapshots are unaffected.
+            if cfg.expire_keep_last:
+                s.expire_snapshots(keep_last=cfg.expire_keep_last)
+
+        if cfg.routes:
+            valid = valid.cache()  # each route re-filters the same batch
+            preds = {n: F.expr(p) for n, p in cfg.routes.items() if p != "*"}
+            rest = ~_any(list(preds.values()))
+            try:
+                for name in cfg.routes:  # dict order = commit order
+                    if fail_after_batches is not None and len(lineages) >= fail_after_batches:
+                        raise RuntimeError("injected failure (test hook, mid-batch)")
+                    pred = preds.get(name, rest)
+                    rec = sinks[name].merge(valid.filter(pred), batch_id, quarantined=n_bad)
+                    rec.route = name
+                    lineages.append(rec)
+                    append_jsonl(lineage_path, rec.to_dict())
+                    housekeep(sinks[name])
+            finally:
+                valid.unpersist()
+            return
         rec = sink.merge(valid, batch_id, quarantined=n_bad)
         lineages.append(rec)
         append_jsonl(lineage_path, rec.to_dict())
-        # mor housekeeping: fold a bucket's deltas into its base once the
-        # read-amplification bound is hit (Iceberg's rewrite_data_files
-        # on a trigger). Runs between commits — crash-safe because
-        # compaction is itself an atomic manifest swap and the epoch
-        # guard makes the next merge skip nothing.
-        if cfg.table_mode == "mor" and cfg.compact_after_deltas:
-            man = sink.load_manifest()
-            due = [
-                int(b)
-                for b, dd in (man or {}).get("deltas", {}).items()
-                if len(dd) >= cfg.compact_after_deltas
-            ]
-            if due:
-                sink.compact(due)
-        # retention: a long-running tail must not accumulate manifests /
-        # superseded data versions forever. Expiry never deletes files a
-        # kept snapshot references, so readers of kept snapshots are
-        # unaffected (the expire_snapshots guarantee).
-        if cfg.expire_keep_last:
-            sink.expire_snapshots(keep_last=cfg.expire_keep_last)
+        housekeep(sink)
 
     src_path, src_format = _resolve_source(cfg)
     reader = spark.readStream.schema(CHANGE_SCHEMA).format(src_format)

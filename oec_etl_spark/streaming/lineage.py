@@ -39,6 +39,7 @@ class BatchLineage:
     merge_strategy: str | None = None
     watermarks: dict[str, int] = field(default_factory=dict)  # bucket -> applied seq high
     skipped_as_committed: bool = False
+    route: str | None = None  # fan-out target name (cfg.routes), None = single target
     wall_sec: float = 0.0
     committed_at: float = field(default_factory=time.time)
 

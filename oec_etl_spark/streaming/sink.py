@@ -126,6 +126,17 @@ class ParquetSnapshotSink:
         man = self.load_manifest()
         return T.StructType.fromJson(man["schema"]) if man else None
 
+    def _sync_layout(self, man: dict | None) -> None:
+        """The COMMITTED manifest owns the bucket count. A sink handle
+        constructed with a different ``n_buckets`` than the table was
+        written with must not win: batch rows would hash to different
+        buckets than the stored layout, the merge would read the wrong
+        stored rows, and an update would survive next to the row it
+        should have replaced. (Changing the layout is an explicit
+        ``rebucket()``, never a constructor default.)"""
+        if man and man.get("n_buckets"):
+            self.n_buckets = int(man["n_buckets"])
+
     # ----------------------------------------------------- maintenance
     def history(self) -> list[dict]:
         """All committed snapshot versions with their lineage summary —
@@ -187,6 +198,7 @@ class ParquetSnapshotSink:
         man = self.load_manifest()
         if man is None or not man.get("deltas"):
             return []
+        self._sync_layout(man)
         dirty = sorted(int(b) for b, dd in man["deltas"].items() if dd)
         chosen = dirty if buckets is None else sorted(set(dirty) & set(buckets))
         if not chosen:
@@ -205,6 +217,44 @@ class ParquetSnapshotSink:
             man["deltas"][str(b)] = []
         self._commit(man)
         return chosen
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Bucket-layout evolution (Iceberg partition-spec evolution
+        analog): rewrite the whole table into ``new_n_buckets`` conv_id
+        hash buckets in one atomic snapshot. The operational reason: a
+        table sized for N tasks eventually outgrows its buckets — one
+        bucket stops fitting one executor's share — and the fix must be
+        a single explicit rewrite, not a config drift. Readers of older
+        snapshots are unaffected (their manifests keep the old layout);
+        the next merge picks up the new count from the manifest."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self._sync_layout(man)
+        schema = T.StructType.fromJson(man["schema"])
+        rows = self._read_current(man, schema)  # tombstones kept
+        self.n_buckets = int(new_n_buckets)
+        store = with_bucket(rows, self.n_buckets)  # storage rows carry no bucket col
+        new_version = man["version"] + 1
+        vdir = f"data/v{new_version:06d}"
+        store.repartition(self.n_buckets, F.col(META_BUCKET)).write.mode("overwrite").partitionBy(
+            META_BUCKET
+        ).parquet(os.path.join(self.root, vdir))
+        written = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(self.root, vdir))
+            if d.startswith(f"{META_BUCKET}=")
+        ]
+        man["version"] = new_version
+        man["n_buckets"] = self.n_buckets
+        man["buckets"] = {str(b): vdir for b in sorted(written)}
+        man["deltas"] = {}
+        # watermarks are per-bucket; the old keys are meaningless under
+        # the new hashing — fold them into one table-level floor
+        wm = max((int(v) for v in man.get("watermarks", {}).values()), default=0)
+        man["watermarks"] = {str(b): wm for b in sorted(written)}
+        self._commit(man)
+        return len(written)
 
     # ------------------------------------------------------------- read
     def _bucket_paths(self, man: dict, buckets: list[int] | None = None) -> list[str]:
@@ -270,6 +320,8 @@ class ParquetSnapshotSink:
         man = self.load_manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        if version is None:  # time-travel reads must not adopt an old layout
+            self._sync_layout(man)
         schema = T.StructType.fromJson(man["schema"])
         df = self._read_current(man, schema)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
@@ -314,6 +366,7 @@ class ParquetSnapshotSink:
             "watermarks": {},
             "lineage": [],
         }
+        self._sync_layout(man)
         rec = BatchLineage(batch_id=batch_id, rows_quarantined=quarantined, table_mode=self.table_mode)
         if batch_id in man["committed_batches"]:
             rec.skipped_as_committed = True

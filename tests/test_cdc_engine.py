@@ -430,6 +430,111 @@ def test_type_widening_across_batches(spark, tmp_path):
     assert got == {"c1": None, "c2": 1.5, "c3": 2.5}
 
 
+def test_sink_honors_manifest_bucket_count(spark, tmp_path):
+    """A sink handle opened with the WRONG n_buckets must follow the
+    committed manifest's layout: otherwise a second batch's rows hash
+    to different buckets than the stored winners, the merge reads the
+    wrong stored rows, and an update survives next to the row it should
+    replace."""
+    _gen(tmp_path, seed=41, n_conversations=50, n_segments=2)
+    cfg = _engine_cfg(tmp_path)  # n_buckets=8
+    replay_batch(spark, cfg)
+    # reopen with a mismatched constructor value and apply more changes
+    import datetime as dt
+
+    sink2 = ParquetSnapshotSink(spark, cfg.target_dir, n_buckets=32)
+    existing = sink2.read_table().limit(5).collect()
+    assert sink2.n_buckets == 8  # manifest wins (synced on read/merge)
+    upd = [
+        (10_000_000 + i, "U", r["conv_id"], r["turn_idx"], r["role"], "rewritten", r["tool"],
+         dt.datetime(2030, 1, 1))
+        for i, r in enumerate(existing)
+    ]
+    schema = "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    sink2.merge(spark.createDataFrame(upd, schema), batch_id=999)
+    out = sink2.read_table()
+    # no duplicate keys, and every updated key shows the new text
+    assert out.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count() == 0
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in out.join(
+            spark.createDataFrame([(u[2], u[3]) for u in upd], "conv_id string, turn_idx int"),
+            on=["conv_id", "turn_idx"],
+        ).collect()
+    }
+    assert set(got.values()) == {"rewritten"}
+
+
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """rebucket() rewrites the table into a new bucket count atomically;
+    time travel to the old layout still works, later merges use the new
+    layout, and the final state still equals the oracle."""
+    _gen(tmp_path, seed=42, n_conversations=60, n_segments=4)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    before = sink.read_table()
+    v_before = sink.load_manifest()["version"]
+    n_written = sink.rebucket(32)
+    assert n_written > 8
+    man = sink.load_manifest()
+    assert man["n_buckets"] == 32
+    _assert_table_equal(sink.read_table(), before)
+    _assert_table_equal(sink.read_table(version=v_before), before)  # time travel intact
+    # another merge on the new layout still matches the batch oracle
+    import datetime as dt
+
+    row = before.limit(1).collect()[0]
+    sink.merge(
+        spark.createDataFrame(
+            [(99_000_000, "U", row["conv_id"], row["turn_idx"], row["role"], "after-rebucket",
+              row["tool"], dt.datetime(2031, 1, 1))],
+            "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ),
+        batch_id=1000,
+    )
+    out = sink.read_table()
+    assert out.filter(
+        (F.col("conv_id") == row["conv_id"]) & (F.col("turn_idx") == row["turn_idx"])
+    ).first()["text"] == "after-rebucket"
+    assert out.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count() == 0
+
+
+_EVEN = "CAST(substr(conv_id, length(conv_id), 1) AS INT) % 2 = 0"
+
+
+def test_routed_fanout_partitions_stream_exactly(spark, tmp_path):
+    """cfg.routes fans one change stream out to per-route snapshot
+    tables; the union of the targets must equal the single-target
+    oracle and each target must satisfy its own predicate."""
+    _gen(tmp_path, seed=51, n_conversations=60, n_segments=4)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2, routes={"even": _EVEN, "rest": "*"})
+    recs = run_replay(spark, cfg)
+    assert {r.route for r in recs} == {"even", "rest"}
+    even = ParquetSnapshotSink(spark, f"{cfg.target_dir}/even", cfg.n_buckets).read_table()
+    rest = ParquetSnapshotSink(spark, f"{cfg.target_dir}/rest", cfg.n_buckets).read_table()
+    assert even.filter(~F.expr(_EVEN)).count() == 0
+    assert rest.filter(F.expr(_EVEN)).count() == 0
+    _assert_table_equal(even.unionByName(rest), _oracle(spark, cfg.changes_dir))
+
+
+def test_routed_fanout_mid_batch_crash_resumes_exactly_once(spark, tmp_path):
+    """Crash AFTER route 'even' committed a batch but BEFORE 'rest'
+    did: on resume the batch is redelivered, 'even' skips it via its
+    epoch guard, 'rest' applies it — both targets end exactly right."""
+    _gen(tmp_path, seed=52, n_conversations=60, n_segments=4)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=2, routes={"even": _EVEN, "rest": "*"})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_replay(spark, cfg, fail_after_batches=3)  # 2 routes/batch → dies mid-batch 2
+    recs = run_replay(spark, cfg)  # resume from checkpoint
+    assert any(r.skipped_as_committed for r in recs)  # the half-committed batch
+    even = ParquetSnapshotSink(spark, f"{cfg.target_dir}/even", cfg.n_buckets).read_table()
+    rest = ParquetSnapshotSink(spark, f"{cfg.target_dir}/rest", cfg.n_buckets).read_table()
+    _assert_table_equal(even.unionByName(rest), _oracle(spark, cfg.changes_dir))
+
+
 def test_int_to_long_widening_across_batches(spark, tmp_path):
     """int→bigint widening through the real merge (regression: the
     widening lattice was keyed by API type names, not simpleString
