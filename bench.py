@@ -103,6 +103,30 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
     return stats["events_written"], dt
 
 
+def _platform_probe() -> dict:
+    """2-second fingerprint of the host window this bench ran in: this
+    VM's streaming memory bandwidth swings >10× between windows (see
+    BENCH/BASELINE.md), and a bandwidth-bound replay number is
+    uninterpretable without knowing the window. cpu ≈ cache-resident
+    iterations/s; membw ≈ 200 MB-array multiplies/s (one core each)."""
+    import time as _t
+
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < 1.0:
+        sum(i * i for i in range(10000))
+        n += 1
+    import numpy as _np
+
+    a = _np.zeros(25_000_000)
+    t0 = _t.time()
+    m = 0
+    while _t.time() - t0 < 1.0:
+        a = a * 1.000001
+        m += 1
+    return {"cpu_1core": n, "membw_1core": m}
+
+
 def main() -> None:
     from oec_etl_spark.plans.queries import REGISTRY, headline_names
     from oec_etl_spark.session import get_spark
@@ -145,6 +169,7 @@ def main() -> None:
         "cdc_events": events,
         "cdc_events_per_sec": round(events / cdc_sec, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "platform_probe": _platform_probe(),
     }
     print(json.dumps(out))
     spark.stop()
