@@ -207,6 +207,22 @@ def test_crash_and_resume_from_checkpoint(spark, tmp_path):
     _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
 
 
+@pytest.mark.parametrize("crash_after", [1, 2, 4, 7])
+def test_resume_lossless_from_any_checkpoint(spark, tmp_path, crash_after):
+    """North rule: 'resumable from ANY checkpoint mid-replay' — crash
+    after every prefix length of the batch sequence; each resume must
+    reach the identical oracle state."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _gen(tmp_path, seed=24, n_conversations=60, n_segments=8)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=1)
+    with pytest.raises(StreamingQueryException):
+        run_replay(spark, cfg, fail_after_batches=crash_after)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
 # -------------------------------------------------------- edge semantics
 def test_delete_semantics_tombstone_vs_late_update(spark, tmp_path):
     """A delete beats earlier updates but loses to a later one (R3)."""
