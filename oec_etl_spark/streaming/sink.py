@@ -326,18 +326,45 @@ class ParquetSnapshotSink:
         df = self._read_current(man, schema)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
-    def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changelog(
+        self, from_version: int, to_version: int | None = None, pre_post: bool = False
+    ) -> DataFrame:
         """Change-data-feed between two committed snapshots (Iceberg's
         incremental changelog scan / Delta CDF analog): one net row per
         inserted/deleted/updated key with ``_change_type``, computed as
         a key-bucketed full-outer diff of the two states. Both sides
         come off the same hash-bucket layout, so at cluster scale the
-        diff join shuffles co-located data only."""
-        from oec_etl_spark.operators.cdf import table_diff
+        diff join shuffles co-located data only. ``pre_post=True`` emits
+        updates twice (update_preimage + update_postimage, Delta CDF
+        shape) — what additive downstream consumers (incremental view
+        maintenance) need to retract the old contribution."""
+        from oec_etl_spark.operators.cdf import table_diff, table_diff_pre_post
 
         old = self.read_table(from_version)
         new = self.read_table(to_version)
-        return table_diff(old, new, keys=KEY_COLUMNS)
+        diff = table_diff_pre_post if pre_post else table_diff
+        return diff(old, new, keys=KEY_COLUMNS)
+
+    def lookup(self, conv_id: str, turn_idx: int | None = None) -> DataFrame:
+        """Point query: live rows of ONE conversation, reading only its
+        hash bucket — O(table/n_buckets) scan instead of O(table). The
+        operational "fetch this transcript" path; at cluster scale this
+        is Iceberg bucket-transform partition pruning."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self._sync_layout(man)
+        # same hash the writer used (operators/bucketing.with_bucket)
+        b = (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets)).cast("int"))
+            .first()[0]
+        )
+        schema = T.StructType.fromJson(man["schema"])
+        df = self._read_current(man, schema, [b]).filter(F.col("conv_id") == conv_id)
+        if turn_idx is not None:
+            df = df.filter(F.col("turn_idx") == turn_idx)
+        return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
     def _read_stored_as_changes(self, man: dict, schema: T.StructType, buckets: list[int]) -> DataFrame:
         """Affected buckets' current rows, lifted back into change shape

@@ -100,3 +100,72 @@ def test_sink_changelog_apply_invariant(spark, tmp_path):
     assert rebuilt.exceptAll(new_state).count() == 0
     assert new_state.exceptAll(rebuilt).count() == 0
     feed.unpersist()
+
+
+def test_ivm_maintain_equals_recompute(spark, tmp_path):
+    """Incremental view maintenance: old aggregate ⊕ feed-delta must
+    equal the aggregate recomputed from the new table — across a real
+    replay's snapshots, including deletes and updates."""
+    from oec_etl_spark.operators import ivm
+
+    generate_changelog(GeneratorConfig(out_dir=str(tmp_path / "changes"), seed=78, n_conversations=60))
+    cfg = EngineConfig(
+        changes_dir=str(tmp_path / "changes"),
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+        max_files_per_trigger=2,
+    )
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    v_old = sink.history()[0]["version"]
+    keys = ["role"]
+    agg_old = sink.read_table(v_old).groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    feed = sink.changelog(v_old, pre_post=True)
+    maintained = ivm.maintain(agg_old, feed, keys)
+    recomputed = sink.read_table().groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    got = {r["role"]: r["n"] for r in maintained.collect()}
+    want = {r["role"]: r["n"] for r in recomputed.collect()}
+    assert got == want
+
+
+def test_ivm_sum_measures_and_group_drop(spark):
+    """Signed retract/add on a sum measure; a group whose rows all
+    vanish drops out of the maintained aggregate."""
+    from oec_etl_spark.operators import ivm
+    from oec_etl_spark.operators.cdf import table_diff_pre_post
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], "k int, g string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 12), (4, "c", 1)], "k int, g string, v long"  # upd k1, del k2/k3, ins k4
+    )
+    agg_old = old.groupBy("g").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"))
+    feed = table_diff_pre_post(old, new, keys=("k",))
+    maintained = ivm.maintain(agg_old, feed, ["g"], sum_cols=["v"])
+    got = {r["g"]: (r["n"], r["v"]) for r in maintained.collect()}
+    assert got == {"a": (1, 12), "c": (1, 1)}  # "b" dropped (count 0)
+
+
+def test_lookup_reads_single_bucket(spark, tmp_path):
+    generate_changelog(GeneratorConfig(out_dir=str(tmp_path / "changes"), seed=79, n_conversations=50))
+    cfg = EngineConfig(
+        changes_dir=str(tmp_path / "changes"),
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+    )
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    conv = sink.read_table().select("conv_id").first()[0]
+    got = sink.lookup(conv)
+    want = sink.read_table().filter(F.col("conv_id") == conv)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # pruning: every file the lookup plan reads is in ONE bucket dir
+    buckets = {f.split("__bucket=")[1].split("/")[0] for f in got.inputFiles()}
+    assert len(buckets) == 1
+    # point lookup on one turn
+    row = want.first()
+    one = sink.lookup(conv, row["turn_idx"]).collect()
+    assert len(one) == 1 and one[0]["turn_idx"] == row["turn_idx"]
