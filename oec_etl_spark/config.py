@@ -29,6 +29,10 @@ class EngineConfig:
     hot_key_threshold: float = 0.05
     hot_key_salt: int = 8
     merge_strategy: str = "hash"  # LWW reduce plan: "hash" (slim agg + winner join) | "sort" (max_by)
+    # WRITE ORDERED BY analog: physically sort each written data file by
+    # (conv_id, turn_idx). Better compression + sequential turn reads at
+    # the cost of a per-task sort of the batch winners on every commit.
+    write_sorted: bool = False
     table_mode: str = "cow"  # target layout: "cow" (rewrite touched buckets) | "mor" (delta append + compaction)
     # mor only: compact a bucket inside the streaming loop once it has
     # accumulated this many delta files (None = manual compact() only).

@@ -80,6 +80,7 @@ def _build_query(
             spark, target_dir, cfg.n_buckets,
             hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
             merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
+            write_sorted=cfg.write_sorted,
         )
 
     if cfg.routes:
@@ -219,6 +220,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         spark, cfg.target_dir, cfg.n_buckets,
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
+            write_sorted=cfg.write_sorted,
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)

@@ -83,6 +83,7 @@ class ParquetSnapshotSink:
         hot_key_salt: int = 8,
         merge_strategy: str = "hash",
         table_mode: str = "cow",
+        write_sorted: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -91,7 +92,26 @@ class ParquetSnapshotSink:
         self.hot_key_salt = hot_key_salt
         self.merge_strategy = merge_strategy  # "hash" (slim-agg + winner join) | "sort" (max_by)
         self.table_mode = table_mode  # "cow" (rewrite touched buckets) | "mor" (append deltas, merge on read)
+        # Iceberg WRITE ORDERED BY analog: physically order each data
+        # file by (conv_id, turn_idx). Costs a per-task sort of the
+        # winners on every write; buys parquet RLE/dictionary
+        # compression on conv_id and sequential turn reads. Off by
+        # default — the logical "stable turn ordering" invariant is
+        # enforced at read time either way.
+        self.write_sorted = write_sorted
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    def _write_store(self, store: DataFrame, vdir: str) -> None:
+        """Bucket-aligned write: repartition to the bucket layout first
+        (otherwise every shuffle task opens a file in every touched
+        bucket dir — N×buckets small files, measured anti-scaling),
+        optionally sorting each task's rows by key (write_sorted)."""
+        out = store.repartition(self.n_buckets, F.col(META_BUCKET))
+        if self.write_sorted:
+            out = out.sortWithinPartitions(META_BUCKET, *KEY_COLUMNS)
+        out.write.mode("overwrite").partitionBy(META_BUCKET).parquet(
+            os.path.join(self.root, vdir)
+        )
 
     # ------------------------------------------------------------ state
     def _current_pointer(self) -> str:
@@ -208,9 +228,7 @@ class ParquetSnapshotSink:
         store = with_bucket(merged, self.n_buckets)
         new_version = man["version"] + 1
         vdir = f"data/v{new_version:06d}"
-        store.repartition(self.n_buckets, F.col(META_BUCKET)).write.mode("overwrite").partitionBy(
-            META_BUCKET
-        ).parquet(os.path.join(self.root, vdir))
+        self._write_store(store, vdir)
         man["version"] = new_version
         for b in chosen:
             man["buckets"][str(b)] = vdir
@@ -237,9 +255,7 @@ class ParquetSnapshotSink:
         store = with_bucket(rows, self.n_buckets)  # storage rows carry no bucket col
         new_version = man["version"] + 1
         vdir = f"data/v{new_version:06d}"
-        store.repartition(self.n_buckets, F.col(META_BUCKET)).write.mode("overwrite").partitionBy(
-            META_BUCKET
-        ).parquet(os.path.join(self.root, vdir))
+        self._write_store(store, vdir)
         written = [
             int(d.split("=", 1)[1])
             for d in os.listdir(os.path.join(self.root, vdir))
@@ -541,9 +557,7 @@ class ParquetSnapshotSink:
         # anti-scaling at local[32]); with it, each task writes exactly
         # its own bucket's file(s). This is what Iceberg's
         # write.distribution-mode=hash does for MERGE.
-        store.repartition(self.n_buckets, F.col(META_BUCKET)).write.mode("overwrite").partitionBy(
-            META_BUCKET
-        ).parquet(os.path.join(self.root, vdir))
+        self._write_store(store, vdir)
 
         mstats = obs2.get
         rec.rows_applied = int(mstats["applied"] or 0)

@@ -516,6 +516,30 @@ def test_rebucket_layout_evolution(spark, tmp_path):
     assert out.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_write_sorted_orders_files_by_key(spark, tmp_path):
+    """write_sorted=True (WRITE ORDERED BY analog): every data file is
+    physically ordered by (conv_id, turn_idx), and the table still
+    equals the oracle."""
+    import pyarrow.parquet as pq
+
+    _gen(tmp_path, seed=61, n_conversations=50, n_segments=3)
+    cfg = _engine_cfg(tmp_path)
+    df = spark.read.schema(CHANGE_SCHEMA).parquet(f"{cfg.changes_dir}/*.parquet")
+    valid, _ = quarantine_split(df)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, 8, write_sorted=True)
+    sink.merge(valid, batch_id=0)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+    checked = 0
+    for root, _dirs, files in os.walk(cfg.target_dir):
+        for f in files:
+            if f.endswith(".parquet") and "__bucket=" in root:
+                t = pq.read_table(os.path.join(root, f), columns=["conv_id", "turn_idx"])
+                keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+                assert keys == sorted(keys), f"unsorted file {f}"
+                checked += 1
+    assert checked >= 4
+
+
 _EVEN = "CAST(substr(conv_id, length(conv_id), 1) AS INT) % 2 = 0"
 
 
