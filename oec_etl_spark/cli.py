@@ -142,6 +142,35 @@ def cmd_history(spark, args) -> int:
     return 0
 
 
+def cmd_stats(spark, args) -> int:
+    """Aggregate the lineage log into one operational summary: totals,
+    throughput, conflict/duplicate/quarantine counts, hot-key batches."""
+    path = f"{args.target}/_lineage/lineage.jsonl"
+    try:
+        with open(path) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        print(f"no lineage at {path}", file=sys.stderr)
+        return 1
+    applied = sum(r.get("rows_applied") or 0 for r in recs)
+    wall = sum(r.get("wall_sec") or 0.0 for r in recs)
+    out = {
+        "batches": len(recs),
+        "batches_skipped_as_committed": sum(1 for r in recs if r.get("skipped_as_committed")),
+        "rows_in": sum(r.get("rows_in_batch") or 0 for r in recs),
+        "rows_applied": applied,
+        "rows_stale": sum(r.get("rows_stale") or 0 for r in recs),
+        "rows_deleted": sum(r.get("rows_deleted") or 0 for r in recs),
+        "rows_quarantined": sum(r.get("rows_quarantined") or 0 for r in recs),
+        "salted_batches": sum(1 for r in recs if r.get("salted")),
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round((sum(r.get("rows_in_batch") or 0 for r in recs)) / wall, 1) if wall else None,
+        "routes": sorted({r["route"] for r in recs if r.get("route")}) or None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -157,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history"):
+                 "changelog", "rebucket", "history", "stats"):
         sp = sub.add_parser(name)
         if name in ("replay", "resume", "tail", "verify"):
             sp.add_argument("--changes", required=True)
@@ -200,6 +229,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_rebucket(spark, args)
         if args.cmd == "history":
             return cmd_history(spark, args)
+        if args.cmd == "stats":
+            return cmd_stats(spark, args)
         return cmd_lineage(spark, args)
     finally:
         spark.stop()
