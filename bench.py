@@ -141,6 +141,17 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     total = 0.0
+    # The replay is measured FIRST, in a quiet JVM (only its own small
+    # warmup ran): measured on this host, running it after the headline
+    # queries inflates its wall time up to 6× (heap/GC pressure from 9
+    # materialized queries compounds the VM's bandwidth instability).
+    workdir = os.environ.get(
+        "BENCH_CDC_DIR", os.path.join(tempfile.gettempdir(), f"oec_bench_cdc_sf{sf}")
+    )
+    os.makedirs(workdir, exist_ok=True)
+    events, cdc_sec = run_cdc_replay(spark, sf, workdir)
+    queries["cdc_replay"] = round(cdc_sec, 3)
+
     if mode == "all":
         for name in headline_names():
             spec = REGISTRY[name]
@@ -151,13 +162,6 @@ def main() -> None:
             queries[name] = dt
             total += dt
             print(f"  {name}: {dt}s ({n} rows)", file=sys.stderr)
-
-    workdir = os.environ.get(
-        "BENCH_CDC_DIR", os.path.join(tempfile.gettempdir(), f"oec_bench_cdc_sf{sf}")
-    )
-    os.makedirs(workdir, exist_ok=True)
-    events, cdc_sec = run_cdc_replay(spark, sf, workdir)
-    queries["cdc_replay"] = round(cdc_sec, 3)
     total += cdc_sec
 
     out = {
