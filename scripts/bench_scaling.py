@@ -15,7 +15,8 @@ and 4× NICs — cannot speed up past that knee here no matter how it is
 written. The 2→8 pair sits below the knee and is the fairer proxy for
 executor scaling; the 8→32 pair is included for transparency.
 
-Writes BENCH/BASELINE.md and prints the JSON result.
+Writes BENCH/scaling_latest.md (BENCH/BASELINE.md stays hand-curated)
+and prints the JSON result.
 
 Usage: python scripts/bench_scaling.py [sf_dir]
 """
