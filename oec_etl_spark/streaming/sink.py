@@ -71,6 +71,10 @@ _UF = "__uf"  # xxhash64(source_file) — fixed-width row uniquifier
 _UO = "__uo"  # delivery offset — fixed-width row uniquifier
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A second writer advanced the table between read and commit."""
+
+
 class ParquetSnapshotSink:
     """Atomic snapshot-versioned parquet table with MERGE upsert."""
 
@@ -132,15 +136,32 @@ class ParquetSnapshotSink:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> None:
-        """Write manifest file, then atomically swap the CURRENT pointer."""
+        """Write manifest file, then atomically swap the CURRENT pointer.
+
+        Optimistic concurrency (Iceberg's commit model): the engine is
+        single-writer by design (one streaming query), but a second
+        writer opened by mistake must fail loudly, not silently clobber
+        the other's snapshot. A commit is valid only if it advances
+        CURRENT by exactly one from the manifest it was derived from —
+        if CURRENT moved underneath us, raise; the caller re-reads and
+        re-merges (the LWW merge is idempotent, so a retry is safe)."""
         v = manifest["version"]
+        ptr = self._current_pointer()
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = json.load(f)["version"]
+            if cur != v - 1:
+                raise ConcurrentCommitError(
+                    f"stale commit: CURRENT is v{cur}, this commit was derived "
+                    f"from v{v - 1} — another writer advanced the table"
+                )
         mpath = os.path.join(self.root, "_manifests", f"manifest-{v:06d}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f, default=str)
-        tmp = self._current_pointer() + ".tmp"
+        tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": v}, f)
-        os.replace(tmp, self._current_pointer())  # POSIX-atomic
+        os.replace(tmp, ptr)  # POSIX-atomic
 
     def schema(self) -> T.StructType | None:
         man = self.load_manifest()

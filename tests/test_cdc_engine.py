@@ -540,6 +540,36 @@ def test_write_sorted_orders_files_by_key(spark, tmp_path):
     assert checked >= 4
 
 
+def test_concurrent_commit_rejected(spark, tmp_path):
+    """Optimistic concurrency: a commit derived from a stale manifest
+    (another writer advanced CURRENT meanwhile) must raise instead of
+    clobbering the other writer's snapshot."""
+    from oec_etl_spark.streaming.sink import ConcurrentCommitError
+
+    _gen(tmp_path, seed=62, n_conversations=30, n_segments=2)
+    cfg = _engine_cfg(tmp_path)
+    replay_batch(spark, cfg)  # commits v1
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    stale = sink.load_manifest()  # derived from v1
+    # a second writer advances the table
+    import datetime as dt
+
+    other = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    other.merge(
+        spark.createDataFrame(
+            [(9_000_000, "I", "c-new", 0, "u", "x", None, dt.datetime(2030, 1, 1))],
+            "seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ),
+        batch_id=500,
+    )  # commits v2
+    stale["version"] += 1  # the stale writer also thinks it commits v2
+    with pytest.raises(ConcurrentCommitError):
+        sink._commit(stale)
+    # the winning writer's snapshot is intact
+    assert sink.load_manifest()["version"] == 2
+    assert sink.read_table().filter(F.col("conv_id") == "c-new").count() == 1
+
+
 _EVEN = "CAST(substr(conv_id, length(conv_id), 1) AS INT) % 2 = 0"
 
 
