@@ -84,7 +84,7 @@ def run_cdc_replay(spark, sf: float, workdir: str) -> tuple[int, float]:
     # platform probes), and the replay is bandwidth-bound — a single
     # sample is meaningless; the minimum is the least-biased estimate
     # of what the engine costs when the hardware cooperates.
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))  # rep0 cold, rep2 = stabilized warm
     dt = None
     for rep in range(max(1, reps)):
         for sub in ("target", "ckpt"):

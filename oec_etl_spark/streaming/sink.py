@@ -208,7 +208,11 @@ class ParquetSnapshotSink:
 
         mdir = os.path.join(self.root, "_manifests")
         names = sorted(os.listdir(mdir))
-        keep, drop = names[-keep_last:], names[:-keep_last]
+        tagged = {
+            f"manifest-{v:06d}.json" for v in self.tags().values()
+        }  # tagged snapshots are retention-protected
+        keep = sorted(set(names[-keep_last:]) | (tagged & set(names)))
+        drop = [n for n in names if n not in keep]
         referenced: set[str] = set()
         for name in keep:
             with open(os.path.join(mdir, name)) as f:
@@ -256,6 +260,25 @@ class ParquetSnapshotSink:
             man["deltas"][str(b)] = []
         self._commit(man)
         return chosen
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag analog): a durable alias for a
+        version, usable in ``read_table(version=sink.tags()[name])``.
+        Tagged versions are protected from ``expire_snapshots``."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        v = man["version"] if version is None else int(version)
+        # verify the target manifest exists (raises otherwise)
+        self.load_manifest(v)
+        man["version"] += 1  # a tag is itself a (metadata-only) commit
+        man.setdefault("tags", {})[name] = v
+        self._commit(man)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        man = self.load_manifest()
+        return {k: int(v) for k, v in (man or {}).get("tags", {}).items()}
 
     def rebucket(self, new_n_buckets: int) -> int:
         """Bucket-layout evolution (Iceberg partition-spec evolution

@@ -540,6 +540,27 @@ def test_write_sorted_orders_files_by_key(spark, tmp_path):
     assert checked >= 4
 
 
+def test_snapshot_tags_survive_expiry(spark, tmp_path):
+    """A tagged snapshot stays readable after expire_snapshots even
+    when it falls outside the keep-last horizon; untagged old versions
+    are expired as before."""
+    _gen(tmp_path, seed=63, n_conversations=40, n_segments=4)
+    cfg = _engine_cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    hist = sink.history()
+    assert len(hist) >= 4
+    v_tagged, v_untagged = hist[0]["version"], hist[1]["version"]
+    rows_tagged = sink.read_table(v_tagged).count()
+    sink.tag("baseline", v_tagged)
+    assert sink.tags() == {"baseline": v_tagged}
+    sink.expire_snapshots(keep_last=1)
+    assert sink.read_table(sink.tags()["baseline"]).count() == rows_tagged
+    with pytest.raises(FileNotFoundError):
+        sink.read_table(v_untagged)
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
 def test_concurrent_commit_rejected(spark, tmp_path):
     """Optimistic concurrency: a commit derived from a stale manifest
     (another writer advanced CURRENT meanwhile) must raise instead of
