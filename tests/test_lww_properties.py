@@ -76,6 +76,15 @@ def test_duplication_and_order_insensitive(spark, events, rng):
     they may tiebreak differently, but only among rows equal in
     (ts, seq), and the payload of a re-delivered event is identical)."""
     base = _rows(events)
+    # The engine's contract: distinct events carry distinct seq (the
+    # generator assigns seq in commit order); only REdeliveries share
+    # (key, ts, seq), and those are byte-identical. The random strategy
+    # can emit two different events colliding on (key, ts, seq) with
+    # different payloads — outside the contract, where the offset
+    # tiebreak legitimately differs per delivery. Restore the contract
+    # by making the payload a pure function of the event identity.
+    base = [(c, t, ts, seq, off, op, f"{c}:{t}:{ts.isoformat()}:{seq}:{op}")
+            for (c, t, ts, seq, off, op, _txt) in base]
     dup = [base[rng.randrange(len(base))] for _ in range(3)]
     shuffled = base + dup
     rng.shuffle(shuffled)
