@@ -129,3 +129,94 @@ def doc_fingerprint(col: Column) -> Column:
 
 def doc_fingerprint_sql(expr: str) -> str:
     return f"md5(lower(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+# ------------------------------------------------------------- PII redaction
+# Training-data scrubbing: replace emails / SSNs / phone numbers / IPv4
+# addresses with typed placeholder tokens. Patterns are RE2-compatible
+# (no lookarounds, no backrefs) so Spark's Java regex and DuckDB's RE2
+# produce byte-identical output. Order matters: SSN (3-2-4) before
+# phone (3-3-4) — the group widths are disjoint, so neither can consume
+# the other's match, but applying the more specific shape first keeps
+# that true if a pattern is ever loosened.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(col: Column) -> Column:
+    """Redact all PII_PATTERNS occurrences (chained regexp_replace —
+    codegen'd JVM regex, no Python in the row path)."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_redact_sql(expr: str) -> str:
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+# --------------------------------------------- within-doc repetition metrics
+# Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1, public):
+# fraction of duplicate words / word-bigrams and mean word length over the
+# single-space-separated token stream. One definition, two renderers:
+# Spark higher-order array functions vs DuckDB list functions.
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def dup_word_frac(col: Column) -> Column:
+    t = tokens(col)
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(t)) / F.size(t), 4)
+
+
+def dup_word_frac_sql(t: str) -> str:
+    return f"round(1.0 - CAST(len(list_distinct({t})) AS DOUBLE) / len({t}), 4)"
+
+
+def word_bigrams(col: Column) -> Column:
+    """All adjacent word pairs (1-based element_at, matching DuckDB's
+    1-based list indexing). Empty array for single-word docs — the
+    guard matters because sequence(1, 0) would DESCEND in Spark."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + F.lit(1))),
+    )
+    return F.when(F.size(t) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dup_bigram_frac(col: Column) -> Column:
+    g = word_bigrams(col)
+    return F.when(
+        F.size(g) > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_frac_sql(t: str) -> str:
+    grams = f"list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1])"
+    return (
+        f"CASE WHEN len({t}) >= 2 THEN "
+        f"round(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / (len({t}) - 1), 4) "
+        f"ELSE 0.0 END"
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    """(total chars - separators) / word count — exact for the
+    single-space-separated corpus, no per-word pass needed."""
+    t = tokens(col)
+    return F.round((F.length(col) - (F.size(t) - 1)) / F.size(t), 4)
+
+
+def mean_word_len_sql(expr: str, t: str) -> str:
+    return f"round(CAST(length({expr}) - (len({t}) - 1) AS DOUBLE) / len({t}), 4)"

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from oec_etl_spark.functions import hs6, text as tx
 from oec_etl_spark.functions.vectors import cosine
+from oec_etl_spark.operators import decontam
 from oec_etl_spark.operators import dedup as dd
 from oec_etl_spark.operators import reshape, similarity
 from oec_etl_spark.operators.lww import lww_reduce
@@ -1103,6 +1104,121 @@ def token_stats(spark, sf_dir):
         tx.n_tokens(F.col("text")).alias("ws_tokens"),
         tx.bpe_token_count(F.col("text")).alias("bpe_tokens"),
     )
+
+
+# PII is injected deterministically from doc_id (the synthetic corpus
+# contains none), then scrubbed — so the query exercises every pattern
+# on every row and the oracle can rebuild the identical input.
+_PII_INJECT_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com ph ' "
+    "|| printf('555-%03d-%04d', doc_id % 1000, (doc_id * 7) % 10000) "
+    "|| ' ip ' || printf('10.%d.%d.%d', doc_id % 256, (doc_id * 3) % 256, (doc_id * 5) % 256) "
+    "|| ' ssn ' || printf('%03d-%02d-%04d', doc_id % 1000, doc_id % 100, (doc_id * 11) % 10000)"
+)
+
+
+@_register(
+    "doc_pii_redact",
+    f"""
+    WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS raw FROM documents),
+    red AS (SELECT doc_id, {tx.pii_redact_sql("raw")} AS redacted FROM injected)
+    SELECT doc_id,
+           CAST({tx.occurrences_sql("redacted", "<EMAIL>")} AS BIGINT) AS n_emails,
+           CAST({tx.occurrences_sql("redacted", "<PHONE>")} AS BIGINT) AS n_phones,
+           CAST({tx.occurrences_sql("redacted", "<SSN>")} AS BIGINT) AS n_ssn,
+           CAST({tx.occurrences_sql("redacted", "<IP>")} AS BIGINT) AS n_ips,
+           md5(redacted) AS redacted_hash
+    FROM red
+    """,
+    tags="PII redaction: email/SSN/phone/IPv4 scrub via RE2-portable regexp_replace chain",
+)
+def doc_pii_redact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"), F.lit("@example.com ph "),
+        F.format_string("555-%03d-%04d", did % 1000, (did * 7) % 10000),
+        F.lit(" ip "),
+        F.format_string("10.%d.%d.%d", did % 256, (did * 3) % 256, (did * 5) % 256),
+        F.lit(" ssn "),
+        F.format_string("%03d-%02d-%04d", did % 1000, did % 100, (did * 11) % 10000),
+    )
+    red = d.select("doc_id", tx.pii_redact(raw).alias("redacted"))
+    return red.select(
+        "doc_id",
+        tx.occurrences(F.col("redacted"), "<EMAIL>").cast("long").alias("n_emails"),
+        tx.occurrences(F.col("redacted"), "<PHONE>").cast("long").alias("n_phones"),
+        tx.occurrences(F.col("redacted"), "<SSN>").cast("long").alias("n_ssn"),
+        tx.occurrences(F.col("redacted"), "<IP>").cast("long").alias("n_ips"),
+        F.md5(F.col("redacted")).alias("redacted_hash"),
+    )
+
+
+@_register(
+    "doc_repetition_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           {tx.dup_word_frac_sql("t")} AS dup_word_frac,
+           {tx.dup_bigram_frac_sql("t")} AS dup_bigram_frac,
+           {tx.mean_word_len_sql("text", "t")} AS mean_word_len,
+           (len(t) >= 20
+            AND {tx.mean_word_len_sql("text", "t")} BETWEEN 3.0 AND 10.0
+            AND {tx.dup_word_frac_sql("t")} <= 0.55
+            AND {tx.dup_bigram_frac_sql("t")} <= 0.1) AS keep
+    FROM toks
+    """,
+    tags="Gopher-style repetition filters: dup word/bigram fraction, mean word length, keep rule",
+)
+def doc_repetition_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    mwl = tx.mean_word_len(c)
+    dwf = tx.dup_word_frac(c)
+    dbf = tx.dup_bigram_frac(c)
+    n_words = F.size(tx.tokens(c)).cast("long")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dwf.alias("dup_word_frac"),
+        dbf.alias("dup_bigram_frac"),
+        mwl.alias("mean_word_len"),
+        (
+            (n_words >= 20) & mwl.between(3.0, 10.0) & (dwf <= 0.55) & (dbf <= 0.1)
+        ).alias("keep"),
+    )
+
+
+_DECONTAM_GRAMS_SQL = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {decontam.N_GRAM - 2}),
+                                     i -> array_to_string(t[i:i+{decontam.N_GRAM - 1}], ' '))) AS gram
+        FROM toks WHERE len(t) >= {decontam.N_GRAM}))
+"""
+
+
+@_register(
+    "doc_decontaminate",
+    f"""
+    WITH {_DECONTAM_GRAMS_SQL},
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+    SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_grams
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    """,
+    tags="benchmark decontamination: 8-gram overlap vs eval set, broadcast semi-probe",
+)
+def doc_decontaminate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return decontam.contamination(corpus, bench)
 
 
 # =====================================================================
