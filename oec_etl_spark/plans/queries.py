@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oec_etl_spark.functions import hs6, text as tx
+from oec_etl_spark.functions import hs6, text as tx, zorder
 from oec_etl_spark.functions.vectors import cosine
 from oec_etl_spark.operators import decontam
 from oec_etl_spark.operators import dedup as dd
@@ -1189,6 +1189,27 @@ def doc_repetition_filter(spark, sf_dir):
             (n_words >= 20) & mwl.between(3.0, 10.0) & (dwf <= 0.55) & (dbf <= 0.1)
         ).alias("keep"),
     )
+
+
+@_register(
+    "events_zorder_key",
+    f"""
+    WITH b AS (SELECT min(user_id) AS __xmin, max(user_id) AS __xmax,
+                      min(epoch_us(ts)) AS __ymin, max(epoch_us(ts)) AS __ymax FROM events)
+    SELECT event_id,
+           {zorder.zorder_key_expr("user_id", "__xmin", "__xmax",
+                                   "epoch_us(ts)", "__ymin", "__ymax", dialect="duckdb")} AS zkey
+    FROM events, b
+    """,
+    tags="z-order layout: Morton key over (user_id, ts) — exact integer arithmetic, both dialects",
+)
+def events_zorder_key(spark, sf_dir):
+    from oec_etl_spark.operators.layout import with_zorder_key
+
+    ev = load(spark, sf_dir, "events")
+    return with_zorder_key(
+        ev, "user_id", "unix_micros(cast(ts as timestamp))", key_col="zkey"
+    ).select("event_id", "zkey")
 
 
 _DECONTAM_GRAMS_SQL = f"""
