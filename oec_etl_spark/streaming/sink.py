@@ -88,6 +88,7 @@ class ParquetSnapshotSink:
         merge_strategy: str = "hash",
         table_mode: str = "cow",
         write_sorted: bool = False,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -96,6 +97,10 @@ class ParquetSnapshotSink:
         self.hot_key_salt = hot_key_salt
         self.merge_strategy = merge_strategy  # "hash" (slim-agg + winner join) | "sort" (max_by)
         self.table_mode = table_mode  # "cow" (rewrite touched buckets) | "mor" (append deltas, merge on read)
+        # Write-audit-publish: a handle opened on a branch reads from and
+        # commits to that branch's ref instead of CURRENT (main). Create
+        # the branch first with create_branch(); publish with publish().
+        self.branch = branch
         # Iceberg WRITE ORDERED BY analog: physically order each data
         # file by (conv_id, turn_idx). Costs a per-task sort of the
         # winners on every write; buys parquet RLE/dictionary
@@ -121,46 +126,92 @@ class ParquetSnapshotSink:
     def _current_pointer(self) -> str:
         return os.path.join(self.root, "CURRENT")
 
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self.root, "_refs", f"{name}.json")
+
+    def _read_ref(self, name: str) -> dict:
+        path = self._ref_path(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no branch {name!r} under {self.root}")
+        with open(path) as f:
+            return json.load(f)
+
     def load_manifest(self, version: int | None = None) -> dict | None:
-        """Committed manifest; pass ``version`` for time travel."""
+        """Committed manifest of this handle's ref (CURRENT, or the
+        branch the handle was opened on); pass ``version`` for time
+        travel / reading another ref's head."""
         if version is None:
-            ptr = self._current_pointer()
-            if not os.path.exists(ptr):
-                return None
-            with open(ptr) as f:
-                version = json.load(f)["version"]
+            if self.branch is not None:
+                version = int(self._read_ref(self.branch)["version"])
+            else:
+                ptr = self._current_pointer()
+                if not os.path.exists(ptr):
+                    return None
+                with open(ptr) as f:
+                    version = json.load(f)["version"]
         path = os.path.join(self.root, "_manifests", f"manifest-{version:06d}.json")
         if not os.path.exists(path):
             raise FileNotFoundError(f"no snapshot version {version} under {self.root}")
         with open(path) as f:
             return json.load(f)
 
-    def _commit(self, manifest: dict) -> None:
-        """Write manifest file, then atomically swap the CURRENT pointer.
-
-        Optimistic concurrency (Iceberg's commit model): the engine is
-        single-writer by design (one streaming query), but a second
-        writer opened by mistake must fail loudly, not silently clobber
-        the other's snapshot. A commit is valid only if it advances
-        CURRENT by exactly one from the manifest it was derived from —
-        if CURRENT moved underneath us, raise; the caller re-reads and
-        re-merges (the LWW merge is idempotent, so a retry is safe)."""
-        v = manifest["version"]
-        ptr = self._current_pointer()
+    def _precheck_version(self, v: int) -> None:
+        """Guard shared by version-named data writes and commits:
+        committing version ``v`` from this handle must still be
+        possible. Data dirs are version-named (``data/v{v}``), so this
+        MUST also run before ``_write_store`` — a raced writer has to
+        fail before its overwrite clobbers files another ref's
+        already-committed manifest references."""
+        mpath = os.path.join(self.root, "_manifests", f"manifest-{v:06d}.json")
+        if os.path.exists(mpath):
+            raise ConcurrentCommitError(
+                f"snapshot v{v} already exists — another writer (main or a "
+                f"branch) claimed this version; re-read and re-merge"
+            )
+        ptr = self._ref_path(self.branch) if self.branch is not None else self._current_pointer()
         if os.path.exists(ptr):
             with open(ptr) as f:
                 cur = json.load(f)["version"]
             if cur != v - 1:
+                ref = self.branch or "CURRENT"
                 raise ConcurrentCommitError(
-                    f"stale commit: CURRENT is v{cur}, this commit was derived "
+                    f"stale commit: {ref} is v{cur}, this commit was derived "
                     f"from v{v - 1} — another writer advanced the table"
                 )
+        elif self.branch is not None:
+            raise FileNotFoundError(
+                f"no branch {self.branch!r} under {self.root} — create_branch() first"
+            )
+
+    def _commit(self, manifest: dict) -> None:
+        """Write manifest file, then atomically swap this handle's ref
+        pointer (CURRENT for main, the branch ref otherwise).
+
+        Optimistic concurrency (Iceberg's commit model): the engine is
+        single-writer per ref by design (one streaming query), but a
+        second writer opened by mistake must fail loudly, not silently
+        clobber the other's snapshot. A commit is valid only if (a) it
+        advances its ref by exactly one from the manifest it was derived
+        from, and (b) no other ref's writer already claimed the same
+        manifest version — if either moved underneath us, raise; the
+        caller re-reads and re-merges (the LWW merge is idempotent, so a
+        retry is safe)."""
+        v = manifest["version"]
+        self._precheck_version(v)
         mpath = os.path.join(self.root, "_manifests", f"manifest-{v:06d}.json")
+        ptr = self._ref_path(self.branch) if self.branch is not None else self._current_pointer()
         with open(mpath, "w") as f:
             json.dump(manifest, f, default=str)
         tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": v}, f)
+        if self.branch is not None:
+            with open(ptr) as f:
+                ref = json.load(f)
+            ref["version"] = v
+            with open(tmp, "w") as f:
+                json.dump(ref, f)
+        else:
+            with open(tmp, "w") as f:
+                json.dump({"version": v}, f)
         os.replace(tmp, ptr)  # POSIX-atomic
 
     def schema(self) -> T.StructType | None:
@@ -208,10 +259,19 @@ class ParquetSnapshotSink:
 
         mdir = os.path.join(self.root, "_manifests")
         names = sorted(os.listdir(mdir))
-        tagged = {
+        protected = {
             f"manifest-{v:06d}.json" for v in self.tags().values()
         }  # tagged snapshots are retention-protected
-        keep = sorted(set(names[-keep_last:]) | (tagged & set(names)))
+        # the ref heads are always protected: main's CURRENT (which may
+        # be OLDER than the newest manifests while a branch is staging)
+        # and every branch head (whose manifest pins the branch's data)
+        ptr = self._current_pointer()
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                protected.add(f"manifest-{json.load(f)['version']:06d}.json")
+        for ref in self.branches().values():
+            protected.add(f"manifest-{int(ref['version']):06d}.json")
+        keep = sorted(set(names[-keep_last:]) | (protected & set(names)))
         drop = [n for n in names if n not in keep]
         referenced: set[str] = set()
         for name in keep:
@@ -252,6 +312,7 @@ class ParquetSnapshotSink:
         merged = self._read_current(man, schema, chosen)
         store = with_bucket(merged, self.n_buckets)
         new_version = man["version"] + 1
+        self._precheck_version(new_version)  # before touching data/v{new_version}
         vdir = f"data/v{new_version:06d}"
         self._write_store(store, vdir)
         man["version"] = new_version
@@ -260,6 +321,113 @@ class ParquetSnapshotSink:
             man["deltas"][str(b)] = []
         self._commit(man)
         return chosen
+
+    # ------------------------------------------------- branches (WAP)
+    # Write-audit-publish (Iceberg branch / WAP pattern): stage commits
+    # on a named branch, audit the branch snapshot, then fast-forward
+    # main to it — readers of main never see unaudited data. Version
+    # numbers are globally linear, so while a branch holds unpublished
+    # commits MAIN CANNOT ADVANCE (the _commit collision guard raises) —
+    # strict WAP: pause ingest on main, stage + audit, then publish or
+    # drop the branch to resume. That is the honest shape for a
+    # single-writer CDC engine; truly concurrent refs are an Iceberg-
+    # runtime feature (snapshot-id-based, not version-based).
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Open a branch at ``version`` (default: current main head).
+        Returns the base version. Write to it via a handle constructed
+        with ``branch=name``."""
+        man = self.load_manifest(version) if version is not None else (
+            ParquetSnapshotSink(self.spark, self.root).load_manifest()
+        )
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        path = self._ref_path(name)
+        if os.path.exists(path):
+            raise ValueError(f"branch {name!r} already exists under {self.root}")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        base = int(man["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": base, "base": base}, f)
+        os.replace(tmp, path)
+        return base
+
+    def branches(self) -> dict[str, dict]:
+        """name → {"version": head, "base": forked-from}."""
+        rdir = os.path.join(self.root, "_refs")
+        if not os.path.isdir(rdir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(rdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as f:
+                    out[fn[: -len(".json")]] = json.load(f)
+        return out
+
+    def drop_branch(self, name: str) -> list[str]:
+        """Abandon a branch: delete its ref, its manifests past the base,
+        and every data dir only those manifests reference — unblocking
+        main's version sequence. Returns the deleted paths."""
+        import shutil
+
+        ref = self._read_ref(name)
+        base, head = int(ref["base"]), int(ref["version"])
+        os.remove(self._ref_path(name))
+        deleted = [f"_refs/{name}.json"]
+        mdir = os.path.join(self.root, "_manifests")
+        drop_names = {f"manifest-{v:06d}.json" for v in range(base + 1, head + 1)}
+        keep_referenced: set[str] = set()
+        for fn in os.listdir(mdir):
+            if fn in drop_names:
+                continue
+            with open(os.path.join(mdir, fn)) as f:
+                kept = json.load(f)
+            keep_referenced.update(kept.get("buckets", {}).values())
+            for ddirs in kept.get("deltas", {}).values():
+                keep_referenced.update(ddirs)
+        branch_referenced: set[str] = set()
+        for fn in sorted(drop_names):
+            p = os.path.join(mdir, fn)
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                bman = json.load(f)
+            branch_referenced.update(bman.get("buckets", {}).values())
+            for ddirs in bman.get("deltas", {}).values():
+                branch_referenced.update(ddirs)
+            os.remove(p)
+            deleted.append(f"_manifests/{fn}")
+        for vdir in sorted(branch_referenced - keep_referenced):
+            full = os.path.join(self.root, vdir)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+                deleted.append(vdir)
+        return deleted
+
+    def publish(self, name: str) -> int:
+        """Fast-forward main to the branch head (the P of WAP) and
+        retire the branch ref. Refuses if main moved past the branch
+        base (cannot happen under the strict lock, but a deleted-and-
+        recreated table or a manual CURRENT edit must not be clobbered).
+        Returns the published version."""
+        ref = self._read_ref(name)
+        base, head = int(ref["base"]), int(ref["version"])
+        self.load_manifest(head)  # head manifest must exist
+        ptr = self._current_pointer()
+        with open(ptr) as f:
+            cur = int(json.load(f)["version"])
+        if cur != base:
+            raise ConcurrentCommitError(
+                f"cannot publish branch {name!r}: main is at v{cur}, branch "
+                f"was forked at v{base}"
+            )
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": head}, f)
+        os.replace(tmp, ptr)  # POSIX-atomic: main readers flip to the branch head
+        os.remove(self._ref_path(name))
+        return head
 
     def tag(self, name: str, version: int | None = None) -> int:
         """Name a snapshot (Iceberg tag analog): a durable alias for a
@@ -298,6 +466,7 @@ class ParquetSnapshotSink:
         self.n_buckets = int(new_n_buckets)
         store = with_bucket(rows, self.n_buckets)  # storage rows carry no bucket col
         new_version = man["version"] + 1
+        self._precheck_version(new_version)  # before touching data/v{new_version}
         vdir = f"data/v{new_version:06d}"
         self._write_store(store, vdir)
         written = [
@@ -594,6 +763,7 @@ class ParquetSnapshotSink:
             F.col(META_BUCKET),
         )
         new_version = man["version"] + 1
+        self._precheck_version(new_version)  # before touching data/{v,d}{new_version}
         vdir = f"data/{'d' if self.table_mode == 'mor' else 'v'}{new_version:06d}"
         # Align the write shuffle with the bucket layout: without this,
         # every one of the N shuffle-partition tasks opens a file in
