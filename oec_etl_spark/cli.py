@@ -16,6 +16,11 @@ idempotent command surface::
         changelog --target DIR --from-version V [--to-version W]  # CDF feed
         rebucket  --target DIR --new-buckets N   # bucket-layout evolution
         history   --target DIR                   # snapshot versions
+        branch    --target DIR --name B          # open a WAP staging branch
+        audit     --target DIR [--branch B] [--expect NAME=PRED ...]
+        publish   --target DIR --name B          # audit + fast-forward main
+        drop-branch --target DIR --name B        # abandon staged commits
+        branches  --target DIR                   # list branch refs
 
 `replay` and `resume` are deliberately the same code path — restarting
 the streaming query against the same checkpointLocation continues from
@@ -43,6 +48,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         quarantine_dir=args.quarantine,
         table_mode=args.table_mode,
         format=args.format,
+        branch=args.branch,
     )
 
 
@@ -171,6 +177,93 @@ def cmd_stats(spark, args) -> int:
     return 0
 
 
+def _expectations(args) -> dict[str, str] | None:
+    if not getattr(args, "expect", None):
+        return None
+    out = {}
+    for spec in args.expect:
+        name, _, pred = spec.partition("=")
+        if not pred:
+            raise SystemExit(f"--expect wants NAME=SQL_PREDICATE, got {spec!r}")
+        out[name] = pred
+    return out
+
+
+def cmd_branch(spark, args) -> int:
+    """Open a write-audit-publish staging branch at main's head (or
+    --at-version). Stage into it with replay/tail --branch, or a
+    ParquetSnapshotSink(branch=...) handle."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    base = ParquetSnapshotSink(spark, args.target, args.buckets).create_branch(
+        args.name, args.at_version
+    )
+    print(json.dumps({"branch": args.name, "base_version": base}))
+    return 0
+
+
+def cmd_branches(spark, args) -> int:
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    print(json.dumps(ParquetSnapshotSink(spark, args.target, args.buckets).branches()))
+    return 0
+
+
+def cmd_drop_branch(spark, args) -> int:
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    deleted = ParquetSnapshotSink(spark, args.target, args.buckets).drop_branch(args.name)
+    print(json.dumps({"branch": args.name, "deleted": deleted}))
+    return 0
+
+
+def cmd_audit(spark, args) -> int:
+    """Audit a snapshot (branch head by default) without publishing:
+    key uniqueness, null keys, schema legality vs the fork base,
+    bounded delete drift, user expectations. Exit 0 iff clean."""
+    from oec_etl_spark.streaming.audit import audit_snapshot
+
+    report = audit_snapshot(
+        spark,
+        args.target,
+        branch=args.branch,
+        n_buckets=args.buckets,
+        base_version=args.base_version,
+        max_delete_frac=args.max_delete_frac,
+        expectations=_expectations(args),
+    )
+    print(json.dumps(report.to_dict()))
+    return 0 if report.ok else 1
+
+
+def cmd_publish(spark, args) -> int:
+    """Publish a staging branch to main — audited by default; a failed
+    audit leaves branch and main untouched and exits 1."""
+    from oec_etl_spark.streaming.audit import AuditFailed, publish_audited
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    if args.no_audit:
+        v = ParquetSnapshotSink(spark, args.target, args.buckets).publish(args.name)
+        print(json.dumps({"branch": args.name, "published_version": v, "audited": False}))
+        return 0
+    try:
+        report, v = publish_audited(
+            spark,
+            args.target,
+            args.name,
+            n_buckets=args.buckets,
+            max_delete_frac=args.max_delete_frac,
+            expectations=_expectations(args),
+        )
+    except AuditFailed as e:
+        print(json.dumps(e.report.to_dict()))
+        return 1
+    out = report.to_dict()
+    out["published_version"] = v
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -186,8 +279,22 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "stats"):
+                 "changelog", "rebucket", "history", "stats",
+                 "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
+        if name in ("branch", "drop-branch", "publish"):
+            sp.add_argument("--name", required=True)
+        if name == "branch":
+            sp.add_argument("--at-version", type=int, default=None)
+        if name == "audit":
+            sp.add_argument("--branch", default=None)
+            sp.add_argument("--base-version", type=int, default=None)
+        if name in ("audit", "publish"):
+            sp.add_argument("--max-delete-frac", type=float, default=None)
+            sp.add_argument("--expect", action="append", default=None,
+                            metavar="NAME=SQL_PREDICATE")
+        if name == "publish":
+            sp.add_argument("--no-audit", action="store_true")
         if name in ("replay", "resume", "tail", "verify"):
             sp.add_argument("--changes", required=True)
             sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
@@ -202,6 +309,8 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--max-files-per-trigger", type=int, default=None)
             sp.add_argument("--quarantine", default=None)
             sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
+            sp.add_argument("--branch", default=None,
+                            help="stage merges onto this WAP branch instead of main")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")
@@ -231,6 +340,16 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_history(spark, args)
         if args.cmd == "stats":
             return cmd_stats(spark, args)
+        if args.cmd == "branch":
+            return cmd_branch(spark, args)
+        if args.cmd == "branches":
+            return cmd_branches(spark, args)
+        if args.cmd == "drop-branch":
+            return cmd_drop_branch(spark, args)
+        if args.cmd == "audit":
+            return cmd_audit(spark, args)
+        if args.cmd == "publish":
+            return cmd_publish(spark, args)
         return cmd_lineage(spark, args)
     finally:
         spark.stop()

@@ -61,6 +61,14 @@ class EngineConfig:
     # overlap (a row can feed several targets); rows matching no route
     # are counted per batch and dropped (route '*' catches the rest).
     routes: dict[str, str] | None = None
+    # Write-audit-publish staging: when set, every merge commits to this
+    # branch ref instead of main (create it first with create_branch /
+    # the CLI `branch` command). Main readers see nothing until
+    # `publish`; a failed audit drops the branch and the same
+    # checkpointed replay can re-stage onto a fresh one. Ignored by
+    # routed fan-out (each route is its own table; branch them
+    # individually).
+    branch: str | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

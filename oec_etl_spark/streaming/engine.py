@@ -75,12 +75,12 @@ def _build_query(
     """Shared stream construction for backfill and tail: reader +
     quarantine + MERGE foreachBatch, everything but the trigger."""
 
-    def mk_sink(target_dir: str) -> ParquetSnapshotSink:
+    def mk_sink(target_dir: str, branch: str | None = None) -> ParquetSnapshotSink:
         return ParquetSnapshotSink(
             spark, target_dir, cfg.n_buckets,
             hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
             merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
-            write_sorted=cfg.write_sorted,
+            write_sorted=cfg.write_sorted, branch=branch,
         )
 
     if cfg.routes:
@@ -89,7 +89,7 @@ def _build_query(
         # deterministically — already-committed targets skip the batch
         sinks = {name: mk_sink(f"{cfg.target_dir}/{name}") for name in cfg.routes}
     else:
-        sink = mk_sink(cfg.target_dir)
+        sink = mk_sink(cfg.target_dir, branch=cfg.branch)
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -220,7 +220,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         spark, cfg.target_dir, cfg.n_buckets,
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
-            write_sorted=cfg.write_sorted,
+        write_sorted=cfg.write_sorted, branch=cfg.branch,
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)
