@@ -16,6 +16,7 @@ idempotent command surface::
         changelog --target DIR --from-version V [--to-version W]  # CDF feed
         rebucket  --target DIR --new-buckets N   # bucket-layout evolution
         history   --target DIR                   # snapshot versions
+        vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         branch    --target DIR --name B          # open a WAP staging branch
         audit     --target DIR [--branch B] [--expect NAME=PRED ...]
         publish   --target DIR --name B          # audit + fast-forward main
@@ -49,6 +50,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         table_mode=args.table_mode,
         format=args.format,
         branch=args.branch,
+        compact_after=args.compact_after,
     )
 
 
@@ -114,6 +116,17 @@ def cmd_compact(spark, args) -> int:
     done = sink.compact()
     expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
     print(json.dumps({"compacted_buckets": done, "expired": expired}))
+    return 0
+
+
+def cmd_vacuum(spark, args) -> int:
+    """Reclaim never-committed data dirs (crash leftovers). Keeps every
+    snapshot — pair with `compact --expire` for history retention."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    deleted = sink.remove_orphans(older_than_s=args.older_than_s)
+    print(json.dumps({"deleted": deleted}))
     return 0
 
 
@@ -279,7 +292,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "stats",
+                 "changelog", "rebucket", "history", "stats", "vacuum",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -311,12 +324,16 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
             sp.add_argument("--branch", default=None,
                             help="stage merges onto this WAP branch instead of main")
+            sp.add_argument("--compact-after", type=int, default=None,
+                            help="mor: compact a bucket once it holds this many delta files")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")
         if name == "compact":
             sp.add_argument("--expire", action="store_true")
             sp.add_argument("--keep-snapshots", type=int, default=2)
+        if name == "vacuum":
+            sp.add_argument("--older-than-s", type=float, default=3600.0)
         sp.add_argument("--buckets", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -332,6 +349,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_verify(spark, args)
         if args.cmd == "compact":
             return cmd_compact(spark, args)
+        if args.cmd == "vacuum":
+            return cmd_vacuum(spark, args)
         if args.cmd == "changelog":
             return cmd_changelog(spark, args)
         if args.cmd == "rebucket":

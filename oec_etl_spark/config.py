@@ -69,6 +69,10 @@ class EngineConfig:
     # routed fan-out (each route is its own table; branch them
     # individually).
     branch: str | None = None
+    # Merge-on-read read-amplification bound: compact a bucket as soon
+    # as its delta count reaches this many files (inline, right after
+    # the batch commit). Only meaningful with table_mode='mor'.
+    compact_after: int | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     format: str = "parquet"  # change-log segment format: parquet|json

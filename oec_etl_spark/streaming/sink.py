@@ -89,6 +89,7 @@ class ParquetSnapshotSink:
         table_mode: str = "cow",
         write_sorted: bool = False,
         branch: str | None = None,
+        compact_after: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -108,6 +109,12 @@ class ParquetSnapshotSink:
         # default — the logical "stable turn ordering" invariant is
         # enforced at read time either way.
         self.write_sorted = write_sorted
+        # Merge-on-read read-amplification bound: after each merge
+        # commit, any bucket whose delta count reached this threshold is
+        # compacted in the same ingest loop (its own snapshot). Bounds
+        # every read to < compact_after delta files per bucket without a
+        # separate maintenance scheduler. None = compact only on demand.
+        self.compact_after = compact_after
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     def _write_store(self, store: DataFrame, vdir: str) -> None:
@@ -290,6 +297,44 @@ class ParquetSnapshotSink:
         for name in drop:
             os.remove(os.path.join(mdir, name))
             deleted.append(f"_manifests/{name}")
+        return deleted
+
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """Crash-orphan cleanup (Iceberg ``remove_orphan_files`` analog):
+        delete data version-dirs that NO manifest references — the
+        leftovers of a writer that died between ``_write_store`` and
+        ``_commit`` (data dirs are version-named and written before the
+        manifest, so a crash in that window strands a full copy of the
+        touched buckets). Unlike ``expire_snapshots`` this keeps every
+        snapshot; it only reclaims never-committed writes.
+
+        ``older_than_s`` is the safety horizon: a dir younger than it is
+        presumed to belong to an in-flight writer about to commit and is
+        left alone (same contract as Iceberg's ``older_than``)."""
+        import shutil
+
+        mdir = os.path.join(self.root, "_manifests")
+        referenced: set[str] = set()
+        for name in os.listdir(mdir):
+            with open(os.path.join(mdir, name)) as f:
+                man = json.load(f)
+            referenced.update(man.get("buckets", {}).values())
+            for ddirs in man.get("deltas", {}).values():
+                referenced.update(ddirs)
+        deleted: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        if not os.path.isdir(data_root):
+            return deleted
+        now = time.time()
+        for vdir in sorted(os.listdir(data_root)):
+            rel = f"data/{vdir}"
+            full = os.path.join(data_root, vdir)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(full) < older_than_s:
+                continue
+            shutil.rmtree(full)
+            deleted.append(rel)
         return deleted
 
     def compact(self, buckets: list[int] | None = None) -> list[int]:
@@ -795,6 +840,16 @@ class ParquetSnapshotSink:
         rec.wall_sec = time.time() - t0
         man["lineage"].append(rec.to_dict())
         self._commit(man)
+
+        # -- policy-driven compaction (mor read-amplification bound) -----
+        if self.table_mode == "mor" and self.compact_after:
+            due = sorted(
+                int(b) for b, dd in man.get("deltas", {}).items()
+                if len(dd) >= self.compact_after
+            )
+            if due:
+                rec.compacted_buckets = self.compact(due)
+                rec.wall_sec = time.time() - t0
         return rec
 
 

@@ -1,0 +1,143 @@
+"""Table-maintenance surface: the auto-compaction policy (merge-on-read
+read-amplification bound) and crash-orphan cleanup (`remove_orphans`).
+
+The reference has no table maintenance at all — its loads rewrite
+ClickHouse tables wholesale per run — but an always-on CDC sink
+accumulating O(batches) delta files needs both a bound on read
+amplification and a way to reclaim writes that died before commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from oec_etl_spark.config import EngineConfig
+from oec_etl_spark.generate import GeneratorConfig, generate_changelog
+from oec_etl_spark.operators.lww import materialize
+from oec_etl_spark.schemas import CHANGE_SCHEMA
+from oec_etl_spark.streaming.engine import quarantine_split, run_replay
+from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+
+def _gen(tmp, **kw):
+    return generate_changelog(GeneratorConfig(out_dir=str(tmp / "changes"), **kw))
+
+
+def _oracle(spark, changes_dir):
+    df = spark.read.schema(CHANGE_SCHEMA).parquet(f"{changes_dir}/*.parquet")
+    valid, _ = quarantine_split(df)
+    return materialize(valid)
+
+
+def _assert_table_equal(a, b):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a, b = a.select(*cols), b.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _cfg(tmp, **kw):
+    return EngineConfig(
+        changes_dir=str(tmp / "changes"),
+        target_dir=str(tmp / "target"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        n_buckets=8,
+        **kw,
+    )
+
+
+# ---------------------------------------------------- auto-compaction
+def test_auto_compact_bounds_delta_count_and_matches_oracle(spark, tmp_path):
+    """mor + compact_after=2: after EVERY batch commit, no bucket may
+    hold >= 2 delta files (the policy compacts it inline), and the final
+    table still byte-matches the batch oracle."""
+    _gen(tmp_path, seed=41, n_conversations=60, n_segments=6, update_ratio=1.5)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after=2)
+    recs = run_replay(spark, cfg)
+    assert len(recs) >= 4  # enough micro-batches to trip the policy
+    assert any(r.compacted_buckets for r in recs)  # policy actually fired
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    man = sink.load_manifest()
+    assert all(len(dd) < 2 for dd in man["deltas"].values())
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_auto_compact_off_by_default(spark, tmp_path):
+    _gen(tmp_path, seed=42, n_conversations=40, n_segments=6)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor")
+    recs = run_replay(spark, cfg)
+    assert not any(r.compacted_buckets for r in recs)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    man = sink.load_manifest()
+    assert any(len(dd) >= 2 for dd in man["deltas"].values())
+
+
+def test_auto_compact_resume_stays_exactly_once(spark, tmp_path):
+    """Compaction commits interleaved with merge commits must not break
+    the epoch guard: killing the replay mid-way and resuming with the
+    same checkpoint reaches the same final table."""
+    _gen(tmp_path, seed=43, n_conversations=50, n_segments=6, duplicate_rate=0.2)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after=2)
+    with pytest.raises(Exception, match="injected failure"):
+        run_replay(spark, cfg, fail_after_batches=2)
+    recs = run_replay(spark, cfg)  # resume from checkpoint
+    assert recs  # something was left to do
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+# ------------------------------------------------------ orphan cleanup
+def _seed_table(spark, tmp_path):
+    _gen(tmp_path, seed=44, n_conversations=30, n_segments=2)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    return ParquetSnapshotSink(spark, cfg.target_dir, 8)
+
+
+def _plant_orphan(sink) -> str:
+    """Simulate a writer that died between _write_store and _commit:
+    a version-named data dir no manifest references."""
+    head = sink.load_manifest()["version"]
+    orphan = os.path.join(sink.root, "data", f"v{head + 1:06d}")
+    os.makedirs(os.path.join(orphan, "__bucket=0"), exist_ok=True)
+    with open(os.path.join(orphan, "__bucket=0", "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")
+    return orphan
+
+
+def test_remove_orphans_reclaims_only_unreferenced_dirs(spark, tmp_path):
+    sink = _seed_table(spark, tmp_path)
+    before = sorted(map(tuple, sink.read_table().collect()))
+    orphan = _plant_orphan(sink)
+    deleted = sink.remove_orphans(older_than_s=0.0)
+    assert deleted == [f"data/{os.path.basename(orphan)}"]
+    assert not os.path.exists(orphan)
+    # every committed snapshot still readable, bytes unchanged
+    assert sorted(map(tuple, sink.read_table().collect())) == before
+    for h in sink.history():
+        sink.read_table(version=h["version"]).count()
+
+
+def test_remove_orphans_respects_safety_horizon(spark, tmp_path):
+    """A just-written dir may belong to an in-flight writer about to
+    commit — the horizon must protect it."""
+    sink = _seed_table(spark, tmp_path)
+    orphan = _plant_orphan(sink)
+    assert sink.remove_orphans(older_than_s=3600.0) == []
+    assert os.path.exists(orphan)
+
+
+def test_vacuum_cli_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    sink = _seed_table(spark, tmp_path)
+    orphan = _plant_orphan(sink)
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["vacuum", "--target", sink.root, "--older-than-s", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["deleted"] == [f"data/{os.path.basename(orphan)}"]
+    assert not os.path.exists(orphan)
