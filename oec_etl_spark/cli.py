@@ -17,6 +17,7 @@ idempotent command surface::
         rebucket  --target DIR --new-buckets N   # bucket-layout evolution
         history   --target DIR                   # snapshot versions
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
+        rollback  --target DIR --to-version V    # metadata-only undo
         branch    --target DIR --name B          # open a WAP staging branch
         audit     --target DIR [--branch B] [--expect NAME=PRED ...]
         publish   --target DIR --name B          # audit + fast-forward main
@@ -116,6 +117,18 @@ def cmd_compact(spark, args) -> int:
     done = sink.compact()
     expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
     print(json.dumps({"compacted_buckets": done, "expired": expired}))
+    return 0
+
+
+def cmd_rollback(spark, args) -> int:
+    """Metadata-only undo: commit the target snapshot's table state as
+    the new head. Pair with a fresh checkpoint to re-apply corrected
+    batches (undo-and-replay)."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    v = sink.rollback(args.to_version)
+    print(json.dumps({"rolled_back_to": args.to_version, "new_version": v}))
     return 0
 
 
@@ -292,7 +305,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "stats", "vacuum",
+                 "changelog", "rebucket", "history", "stats", "vacuum", "rollback",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -334,6 +347,8 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--keep-snapshots", type=int, default=2)
         if name == "vacuum":
             sp.add_argument("--older-than-s", type=float, default=3600.0)
+        if name == "rollback":
+            sp.add_argument("--to-version", type=int, required=True)
         sp.add_argument("--buckets", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -351,6 +366,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_compact(spark, args)
         if args.cmd == "vacuum":
             return cmd_vacuum(spark, args)
+        if args.cmd == "rollback":
+            return cmd_rollback(spark, args)
         if args.cmd == "changelog":
             return cmd_changelog(spark, args)
         if args.cmd == "rebucket":

@@ -205,6 +205,7 @@ class ParquetSnapshotSink:
         retry is safe)."""
         v = manifest["version"]
         self._precheck_version(v)
+        manifest["committed_at"] = time.time()  # drives AS OF <timestamp>
         mpath = os.path.join(self.root, "_manifests", f"manifest-{v:06d}.json")
         ptr = self._ref_path(self.branch) if self.branch is not None else self._current_pointer()
         with open(mpath, "w") as f:
@@ -492,6 +493,53 @@ class ParquetSnapshotSink:
     def tags(self) -> dict[str, int]:
         man = self.load_manifest()
         return {k: int(v) for k, v in (man or {}).get("tags", {}).items()}
+
+    def rollback(self, version: int) -> int:
+        """Roll this ref back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot`` analog). Version numbers are linear and
+        later manifests already claim them, so the ref pointer cannot
+        move backwards; instead the rollback IS a new (metadata-only)
+        commit whose table state — data file references, schema,
+        watermarks, epoch guard — is the target snapshot's. Readers flip
+        to the old files atomically; the bad snapshots stay in history
+        for forensics until ``expire_snapshots``.
+
+        The epoch guard (``committed_batches``) resets to the target's,
+        so re-running the ingest with a FRESH checkpoint re-applies
+        everything after the rollback point (the undo-and-replay
+        workflow); resuming the ORIGINAL checkpoint replays nothing (its
+        offsets are past the bad batches) and leaves the table rolled
+        back. Tag names are carried forward, never lost. Returns the new
+        head version."""
+        head = self.load_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        target = self.load_manifest(version)  # raises if unknown
+        man = dict(target)
+        man["version"] = head["version"] + 1
+        man["tags"] = {**target.get("tags", {}), **head.get("tags", {})}
+        man["lineage"] = list(target.get("lineage", [])) + [
+            {"rolled_back_from": head["version"], "rolled_back_to": int(version)}
+        ]
+        self._commit(man)
+        return man["version"]
+
+    def version_as_of(self, ts: float) -> int:
+        """Newest snapshot committed at or before UNIX time ``ts``
+        (TIMESTAMP AS OF analog): ``read_table(version_as_of(ts))``.
+        Falls back to manifest file mtime for pre-stamp manifests."""
+        mdir = os.path.join(self.root, "_manifests")
+        best: int | None = None
+        for name in sorted(os.listdir(mdir)):
+            path = os.path.join(mdir, name)
+            with open(path) as f:
+                man = json.load(f)
+            at = man.get("committed_at") or os.path.getmtime(path)
+            if float(at) <= ts and (best is None or man["version"] > best):
+                best = int(man["version"])
+        if best is None:
+            raise LookupError(f"no snapshot under {self.root} committed at or before {ts}")
+        return best
 
     def rebucket(self, new_n_buckets: int) -> int:
         """Bucket-layout evolution (Iceberg partition-spec evolution

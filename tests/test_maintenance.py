@@ -141,3 +141,84 @@ def test_vacuum_cli_roundtrip(spark, tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["deleted"] == [f"data/{os.path.basename(orphan)}"]
     assert not os.path.exists(orphan)
+
+
+# ------------------------------------------------ rollback / AS OF ts
+def test_rollback_restores_state_and_ingest_continues(spark, tmp_path):
+    """Rollback is a metadata-only commit of the old snapshot's state:
+    readers flip to the old files, the epoch guard resets with them,
+    and new merges stack on top of the restored state."""
+    _gen(tmp_path, seed=45, n_conversations=40, n_segments=6, update_ratio=1.0)
+    cfg = _cfg(tmp_path, max_files_per_trigger=2)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    head = sink.load_manifest()["version"]
+    assert head >= 3
+    good = head - 2  # pretend the last two batches were bad
+    want = sorted(map(tuple, sink.read_table(version=good).collect()))
+    new_head = sink.rollback(good)
+    assert new_head == head + 1
+    assert sorted(map(tuple, sink.read_table().collect())) == want
+    # forensics: the bad snapshots remain readable in history
+    assert sink.read_table(version=head).count() >= 0
+    # epoch guard matches the restored snapshot, not the bad head
+    assert sink.load_manifest()["committed_batches"] == \
+        sink.load_manifest(good)["committed_batches"]
+    # ingest continues on top of the restored state
+    extra_dir = tmp_path / "extra"
+    generate_changelog(GeneratorConfig(out_dir=str(extra_dir), seed=46,
+                                       n_conversations=10, n_segments=1))
+    extra = spark.read.schema(CHANGE_SCHEMA).parquet(f"{extra_dir}/*.parquet")
+    sink.merge(extra, batch_id=9999)
+    assert sink.load_manifest()["version"] == new_head + 1
+    # the restored rows survive the new merge except where the extra
+    # batch updated/deleted them (LWW on top of the restored state)
+    assert sink.read_table().count() > 0
+
+
+def test_rollback_preserves_tags(spark, tmp_path):
+    _gen(tmp_path, seed=47, n_conversations=20, n_segments=2)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    sink.tag("audited", version=1)
+    head = sink.load_manifest()["version"]
+    sink.rollback(1)
+    assert sink.tags() == {"audited": 1}
+    assert sink.load_manifest()["version"] == head + 1
+
+
+def test_version_as_of_timestamp(spark, tmp_path):
+    _gen(tmp_path, seed=48, n_conversations=30, n_segments=4)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    mans = [sink.load_manifest(h["version"]) for h in sink.history()]
+    assert len(mans) >= 3
+    v2 = mans[1]
+    # a timestamp between v2's and v3's commits resolves to v2
+    mid = (float(v2["committed_at"]) + float(mans[2]["committed_at"])) / 2
+    assert sink.version_as_of(mid) == v2["version"]
+    # after everything → head; before everything → error
+    assert sink.version_as_of(float(mans[-1]["committed_at"]) + 10) == mans[-1]["version"]
+    with pytest.raises(LookupError):
+        sink.version_as_of(float(mans[0]["committed_at"]) - 10)
+    want = sorted(map(tuple, sink.read_table(version=v2["version"]).collect()))
+    got = sorted(map(tuple, sink.read_table(version=sink.version_as_of(mid)).collect()))
+    assert got == want
+
+
+def test_rollback_cli(spark, tmp_path, monkeypatch, capsys):
+    _gen(tmp_path, seed=49, n_conversations=20, n_segments=3)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, 8)
+    want = sorted(map(tuple, sink.read_table(version=1).collect()))
+    assert cli.main(["rollback", "--target", cfg.target_dir, "--to-version", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rolled_back_to"] == 1
+    assert sorted(map(tuple, sink.read_table().collect())) == want
