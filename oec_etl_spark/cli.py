@@ -51,7 +51,8 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         table_mode=args.table_mode,
         format=args.format,
         branch=args.branch,
-        compact_after=args.compact_after,
+        compact_after_deltas=args.compact_after,
+        metrics_path=args.metrics,
     )
 
 
@@ -84,6 +85,9 @@ def cmd_tail(spark, args) -> int:
         pass
     finally:
         query.stop()
+        from oec_etl_spark.streaming.engine import stop_tail_metrics
+
+        stop_tail_metrics(spark, query)
     applied = sum(r.rows_applied for r in recs)
     print(json.dumps({"batches": len(recs), "rows_applied": applied}))
     return 0
@@ -339,6 +343,8 @@ def main(argv: list[str] | None = None) -> int:
                             help="stage merges onto this WAP branch instead of main")
             sp.add_argument("--compact-after", type=int, default=None,
                             help="mor: compact a bucket once it holds this many delta files")
+            sp.add_argument("--metrics", default=None, metavar="PATH",
+                            help="append per-trigger StreamingQueryProgress metrics as JSONL")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")

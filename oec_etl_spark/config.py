@@ -69,12 +69,12 @@ class EngineConfig:
     # routed fan-out (each route is its own table; branch them
     # individually).
     branch: str | None = None
-    # Merge-on-read read-amplification bound: compact a bucket as soon
-    # as its delta count reaches this many files (inline, right after
-    # the batch commit). Only meaningful with table_mode='mor'.
-    compact_after: int | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
+    # Trigger-level metrics feed (StreamingQueryProgress subset as
+    # JSONL): rows/sec, per-trigger latency breakdown, source offset
+    # ranges — the Spark-side view the lineage log can't see. Opt-in.
+    metrics_path: str | None = None
     format: str = "parquet"  # change-log segment format: parquet|json
     # Declarative source binding (connectors.py, the conns.yaml analog):
     # when set, `changes_dir` is a connector NAME in this registry file;

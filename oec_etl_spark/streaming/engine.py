@@ -22,6 +22,8 @@ query:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,7 +83,6 @@ def _build_query(
             hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
             merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
             write_sorted=cfg.write_sorted, branch=branch,
-            compact_after=cfg.compact_after,
         )
 
     if cfg.routes:
@@ -104,12 +105,13 @@ def _build_query(
             if n_bad:
                 bad.write.mode("append").parquet(cfg.quarantine_dir)
             bad.unpersist()
-        def housekeep(s: ParquetSnapshotSink) -> None:
+        def housekeep(s: ParquetSnapshotSink) -> list[int]:
             # mor housekeeping: fold a bucket's deltas into its base once
             # the read-amplification bound is hit (Iceberg's
             # rewrite_data_files on a trigger). Runs between commits —
             # crash-safe because compaction is itself an atomic manifest
             # swap and the epoch guard makes the next merge skip nothing.
+            compacted: list[int] = []
             if cfg.table_mode == "mor" and cfg.compact_after_deltas:
                 man = s.load_manifest()
                 due = [
@@ -118,13 +120,14 @@ def _build_query(
                     if len(dd) >= cfg.compact_after_deltas
                 ]
                 if due:
-                    s.compact(due)
+                    compacted = s.compact(due)
             # retention: a long-running tail must not accumulate
             # manifests / superseded data versions forever. Expiry never
             # deletes files a kept snapshot references, so readers of
             # kept snapshots are unaffected.
             if cfg.expire_keep_last:
                 s.expire_snapshots(keep_last=cfg.expire_keep_last)
+            return compacted
 
         if cfg.routes:
             valid = valid.cache()  # each route re-filters the same batch
@@ -137,16 +140,16 @@ def _build_query(
                     pred = preds.get(name, rest)
                     rec = sinks[name].merge(valid.filter(pred), batch_id, quarantined=n_bad)
                     rec.route = name
+                    rec.compacted_buckets = housekeep(sinks[name])
                     lineages.append(rec)
                     append_jsonl(lineage_path, rec.to_dict())
-                    housekeep(sinks[name])
             finally:
                 valid.unpersist()
             return
         rec = sink.merge(valid, batch_id, quarantined=n_bad)
+        rec.compacted_buckets = housekeep(sink)
         lineages.append(rec)
         append_jsonl(lineage_path, rec.to_dict())
-        housekeep(sink)
 
     src_path, src_format = _resolve_source(cfg)
     reader = spark.readStream.schema(CHANGE_SCHEMA).format(src_format)
@@ -183,11 +186,45 @@ def run_replay(
     the checkpoint.
     """
     lineages: list[BatchLineage] = []
-    query = _build_query(spark, cfg, lineages, fail_after_batches).trigger(
-        availableNow=True
-    ).start()
-    query.awaitTermination()
+    listener = _attach_metrics(spark, cfg)
+    try:
+        query = _build_query(spark, cfg, lineages, fail_after_batches).trigger(
+            availableNow=True
+        ).start()
+        query.awaitTermination()
+    finally:
+        if listener is not None:
+            _detach_metrics(spark, listener)
     return lineages
+
+
+def _attach_metrics(spark: SparkSession, cfg: EngineConfig):
+    """Register the trigger-metrics listener when cfg.metrics_path is
+    set. Driver-side metadata only — no effect on the query plan."""
+    if not cfg.metrics_path:
+        return None
+    from oec_etl_spark.streaming.metrics import ProgressLogger
+
+    listener = ProgressLogger(cfg.metrics_path)
+    spark.streams.addListener(listener)
+    return listener
+
+
+def _detach_metrics(spark: SparkSession, listener, timeout_s: float = 10.0) -> None:
+    """Unregister after draining: listener events arrive on Spark's bus
+    thread AFTER awaitTermination returns, so wait (bounded) for the
+    terminated event to land in the log before removing the listener —
+    otherwise the final trigger's progress line is silently lost."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            with open(listener.path) as f:
+                if any('"event": "terminated"' in line for line in f):
+                    break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.1)
+    spark.streams.removeListener(listener)
 
 
 def start_tail(
@@ -207,10 +244,23 @@ def start_tail(
     take over where a backfill stopped and vice versa.
     """
     lineages: list[BatchLineage] = []
+    listener = _attach_metrics(spark, cfg)
     query = _build_query(spark, cfg, lineages).trigger(
         processingTime=cfg.processing_interval
     ).start()
+    # caller owns the query lifecycle, so it owns the listener too:
+    # after query.stop(), call stop_tail_metrics(spark, query) (no-op
+    # when metrics were off)
+    query._metrics_listener = listener
     return query, lineages
+
+
+def stop_tail_metrics(spark: SparkSession, query) -> None:
+    """Drain + unregister the metrics listener attached by start_tail
+    (call after query.stop()); safe no-op when metrics were off."""
+    listener = getattr(query, "_metrics_listener", None)
+    if listener is not None:
+        _detach_metrics(spark, listener)
 
 
 def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
@@ -222,7 +272,6 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
         write_sorted=cfg.write_sorted, branch=cfg.branch,
-        compact_after=cfg.compact_after,
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)

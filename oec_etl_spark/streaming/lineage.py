@@ -38,8 +38,9 @@ class BatchLineage:
     # when the batch lacks row-unique source_file/offset lineage)
     merge_strategy: str | None = None
     watermarks: dict[str, int] = field(default_factory=dict)  # bucket -> applied seq high
-    # buckets auto-compacted right after this batch's commit (mor +
-    # compact_after policy); the compaction is its own snapshot version
+    # buckets the streaming loop's housekeeping compacted right after
+    # this batch's commit (mor + compact_after_deltas policy); the
+    # compaction is its own snapshot version
     compacted_buckets: list[int] = field(default_factory=list)
     skipped_as_committed: bool = False
     route: str | None = None  # fan-out target name (cfg.routes), None = single target

@@ -89,7 +89,6 @@ class ParquetSnapshotSink:
         table_mode: str = "cow",
         write_sorted: bool = False,
         branch: str | None = None,
-        compact_after: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -109,12 +108,6 @@ class ParquetSnapshotSink:
         # default — the logical "stable turn ordering" invariant is
         # enforced at read time either way.
         self.write_sorted = write_sorted
-        # Merge-on-read read-amplification bound: after each merge
-        # commit, any bucket whose delta count reached this threshold is
-        # compacted in the same ingest loop (its own snapshot). Bounds
-        # every read to < compact_after delta files per bucket without a
-        # separate maintenance scheduler. None = compact only on demand.
-        self.compact_after = compact_after
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     def _write_store(self, store: DataFrame, vdir: str) -> None:
@@ -888,16 +881,6 @@ class ParquetSnapshotSink:
         rec.wall_sec = time.time() - t0
         man["lineage"].append(rec.to_dict())
         self._commit(man)
-
-        # -- policy-driven compaction (mor read-amplification bound) -----
-        if self.table_mode == "mor" and self.compact_after:
-            due = sorted(
-                int(b) for b, dd in man.get("deltas", {}).items()
-                if len(dd) >= self.compact_after
-            )
-            if due:
-                rec.compacted_buckets = self.compact(due)
-                rec.wall_sec = time.time() - t0
         return rec
 
 

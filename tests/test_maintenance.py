@@ -51,11 +51,11 @@ def _cfg(tmp, **kw):
 
 # ---------------------------------------------------- auto-compaction
 def test_auto_compact_bounds_delta_count_and_matches_oracle(spark, tmp_path):
-    """mor + compact_after=2: after EVERY batch commit, no bucket may
-    hold >= 2 delta files (the policy compacts it inline), and the final
-    table still byte-matches the batch oracle."""
+    """mor + compact_after_deltas=2: after EVERY batch commit, no bucket
+    may hold >= 2 delta files (housekeeping compacts it inline), and the
+    final table still byte-matches the batch oracle."""
     _gen(tmp_path, seed=41, n_conversations=60, n_segments=6, update_ratio=1.5)
-    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after=2)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after_deltas=2)
     recs = run_replay(spark, cfg)
     assert len(recs) >= 4  # enough micro-batches to trip the policy
     assert any(r.compacted_buckets for r in recs)  # policy actually fired
@@ -80,7 +80,7 @@ def test_auto_compact_resume_stays_exactly_once(spark, tmp_path):
     the epoch guard: killing the replay mid-way and resuming with the
     same checkpoint reaches the same final table."""
     _gen(tmp_path, seed=43, n_conversations=50, n_segments=6, duplicate_rate=0.2)
-    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after=2)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor", compact_after_deltas=2)
     with pytest.raises(Exception, match="injected failure"):
         run_replay(spark, cfg, fail_after_batches=2)
     recs = run_replay(spark, cfg)  # resume from checkpoint
