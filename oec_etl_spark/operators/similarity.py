@@ -10,10 +10,10 @@
   ``centroid_id``; a query then ranks centroids driver-side and scans
   ONLY the ``nprobe`` probed partitions — partition pruning does the
   1/k corpus cut, so a query never re-reads (let alone re-assigns) the
-  whole corpus. (Real IVF trains centroids with k-means; deterministic
-  seeding by taking the first k vectors keeps the oracle reproducible —
-  the *plumbing* — assignment, partitioned layout, pruned scan — is the
-  part that matters at 10^10 vectors.)
+  whole corpus. ``kmeans_fit`` trains real centroids (spherical
+  k-means, one map-only corpus scan + one k*dim-cell shuffle per
+  iteration); the registered oracle queries keep deterministic seed
+  centroids so DuckDB can reproduce them exactly.
 - embedding near-dup: ``rp_lsh_banded_pairs`` is the registered scale
   path (banded sign-LSH candidates via bucket equi-join, exact cosine
   verify inside); ``embedding_neardup_pairs`` (all-pairs) survives only
@@ -21,6 +21,8 @@
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -217,3 +219,107 @@ def ivf_topk(
     cand = spark.read.parquet(index_path).filter(F.col(cent_id).isin(probed))
     out = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos"))
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+# ----------------------------------------------------- k-means trainer
+@dataclasses.dataclass
+class KMeansResult:
+    centroids: DataFrame  # (centroid_id int, centroid array<double>), unit-norm
+    n_iter: int
+    # mean max-cosine of the assignment entering each iteration —
+    # spherical k-means is monotone in this, so the list never decreases
+    objective: list[float]
+
+
+def _unit(v: list[float]) -> list[float]:
+    import math
+
+    nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / nrm for x in v]
+
+
+def kmeans_fit(
+    df: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_iter: int = 10, tol: float = 1e-4, seed: int = 7,
+) -> KMeansResult:
+    """Spherical k-means (Lloyd's iterations under cosine) to train the
+    IVF centroids that the rest of this module consumes — replacing the
+    deterministic-seed placeholder with a real trainer while keeping
+    the same (centroid_id, centroid) contract.
+
+    Scale shape per iteration (the part that must survive 10^10
+    vectors): ONE corpus scan — the assignment is the same map-only
+    literal-centroid expression ``ivf_index_build`` uses (no join, no
+    shuffle of the vectors) — followed by a partial-aggregated shuffle
+    of only k*dim (cluster, dimension) cells; the driver sees k*dim
+    numbers per iteration, never vectors. Nothing is cached or
+    collected at corpus scale.
+
+    Determinism: init picks the k vectors with the smallest
+    ``xxhash64(id, seed)`` (a seeded uniform draw with no Python RNG —
+    reproducible across runs and partitionings); ties in assignment
+    break to the lowest centroid_id exactly like the IVF oracle.
+    Empty clusters keep their previous centroid. Stops early when no
+    centroid moves by more than ``tol`` (1 - cos between old and new).
+
+    The reference has no vector operators at all; this supports the
+    new-engine ANN surface (SURVEY §2.4 / VERDICT round-1 item 1).
+    """
+    init_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+    cents = [_unit([float(x) for x in r[vec_col]]) for r in init_rows]
+    dim = len(cents[0])
+
+    objective: list[float] = []
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        rows = [{"centroid_id": i, "centroid": c} for i, c in enumerate(cents)]
+        cid, cos = _nearest_centroid_cols(rows, vec_col, "centroid_id", "centroid")
+        assigned = df.select(cid, cos, F.col(vec_col))
+        # one shuffle of k*dim cells: per-(cluster, dimension) sums with
+        # map-side combine; cluster size and mean cosine ride along on
+        # the pos=0 cell so the objective costs no extra pass
+        stats = (
+            assigned.select("centroid_id", "cos", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"), F.avg("cos").alias("avc"))
+        ).collect()
+
+        sums: dict[int, list[float]] = {}
+        size: dict[int, int] = {}
+        obj_num = obj_den = 0.0
+        for r in stats:
+            c = int(r["centroid_id"])
+            sums.setdefault(c, [0.0] * dim)[int(r["pos"])] = float(r["s"])
+            if int(r["pos"]) == 0:
+                size[c] = int(r["n"])
+                obj_num += float(r["avc"]) * int(r["n"])
+                obj_den += int(r["n"])
+        objective.append(obj_num / obj_den if obj_den else 0.0)
+
+        new_cents = [
+            _unit([x / size[i] for x in sums[i]]) if size.get(i) else cents[i]
+            for i in range(k)
+        ]
+        shift = max(
+            1.0 - sum(a * b for a, b in zip(old, new))
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    return KMeansResult(centroids=out, n_iter=n_iter, objective=objective)
