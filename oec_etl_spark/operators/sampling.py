@@ -101,3 +101,49 @@ def hash_sample(
 def hash_sample_sql(id_expr: str, rate: float, seed: str = "s0") -> str:
     """DuckDB predicate equivalent to the portable tier of hash_sample."""
     return f"{_bucket_sql(id_expr, seed)} < {int(round(rate * RESOLUTION))}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic downsample — corpus rebalancing (cap
+    the dominant languages/sources, keep the long tail whole) without
+    materializing per-stratum counts first: each stratum gets its own
+    keep-threshold over the SAME hash bucketing, so the kept set stays
+    a pure function of (seed, id) and nests monotonically — lowering a
+    stratum's rate only removes rows, never swaps them (crucial when a
+    rebalanced corpus must stay a subset of the previous cut)."""
+    thr = None
+    for name, rate in rates.items():
+        t = F.lit(int(round(rate * RESOLUTION)))
+        thr = F.when(F.col(strata_col) == name, t) if thr is None else thr.when(
+            F.col(strata_col) == name, t
+        )
+    thr = (
+        F.lit(int(round(default_rate * RESOLUTION)))
+        if thr is None
+        else thr.otherwise(F.lit(int(round(default_rate * RESOLUTION))))
+    )
+    return df.filter(_bucket(F.col(id_col), seed, portable_hash) < thr)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    strata_expr: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    seed: str = "s0",
+) -> str:
+    """DuckDB predicate equivalent to the portable tier."""
+    arms = " ".join(
+        f"WHEN '{name}' THEN {int(round(rate * RESOLUTION))}" for name, rate in rates.items()
+    )
+    default = int(round(default_rate * RESOLUTION))
+    case = f"CASE {strata_expr} {arms} ELSE {default} END" if arms else str(default)
+    return f"{_bucket_sql(id_expr, seed)} < ({case})"

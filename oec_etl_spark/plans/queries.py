@@ -1679,6 +1679,38 @@ def doc_hash_sample(spark, sf_dir):
     )
 
 
+def _strat_sql() -> str:
+    from oec_etl_spark.operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql("doc_id", "lang", {"en": 0.3, "zh": 0.6}, seed="bal2")
+
+
+@_register(
+    "doc_stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n, min(doc_id) AS min_id
+    FROM documents WHERE {_strat_sql()}
+    GROUP BY 1
+    """,
+    tags="per-stratum deterministic rebalance (cap dominant langs, keep the tail whole); "
+         "same hash bucketing as hash_sample so kept sets nest monotonically as rates drop",
+)
+def doc_stratified_sample(spark, sf_dir):
+    """Corpus rebalancing without per-stratum counts: each stratum gets
+    its own keep-threshold over one shared hash bucketing — pure per-row
+    arithmetic (codegen'd CASE + filter before any shuffle), so the 100TB
+    plan is scan→filter→partial-agg with no extra pass."""
+    from oec_etl_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", {"en": 0.3, "zh": 0.6}, id_col="doc_id",
+                          seed="bal2", portable_hash=True)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
 @_register(
     "events_approx_users_daily",
     """

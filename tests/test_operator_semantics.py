@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oec_etl_spark.operators.asof import asof_join
@@ -144,3 +145,27 @@ def test_hash_split_fraction_validation(spark):
     df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_rates_and_monotone_nesting(spark):
+    """Per-stratum rates hold (±3%), strata without a rate pass whole,
+    and lowering a stratum's rate only REMOVES rows (nested kept sets —
+    the rebalanced corpus stays a subset of the previous cut)."""
+    from oec_etl_spark.operators.sampling import stratified_sample
+
+    df = (
+        spark.range(0, 6000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.element_at(F.array(F.lit("en"), F.lit("en"), F.lit("de")),
+                                         (F.col("doc_id") % 3 + 1).cast("int")))
+    )
+    kept = stratified_sample(df, "lang", {"en": 0.25}, id_col="doc_id").collect()
+    n_en_total = 4000
+    n_en = sum(1 for r in kept if r["lang"] == "en")
+    n_de = sum(1 for r in kept if r["lang"] == "de")
+    assert n_de == 2000  # no rate → kept whole
+    assert abs(n_en / n_en_total - 0.25) < 0.03
+    tighter = stratified_sample(df, "lang", {"en": 0.10}, id_col="doc_id").collect()
+    ids_wide = {r["doc_id"] for r in kept}
+    ids_tight = {r["doc_id"] for r in tighter}
+    assert ids_tight < ids_wide  # strictly nested
