@@ -18,6 +18,7 @@ idempotent command surface::
         history   --target DIR                   # snapshot versions
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         rollback  --target DIR --to-version V    # metadata-only undo
+        mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
         branch    --target DIR --name B          # open a WAP staging branch
         audit     --target DIR [--branch B] [--expect NAME=PRED ...]
         publish   --target DIR --name B          # audit + fast-forward main
@@ -121,6 +122,24 @@ def cmd_compact(spark, args) -> int:
     done = sink.compact()
     expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
     print(json.dumps({"compacted_buckets": done, "expired": expired}))
+    return 0
+
+
+def cmd_mview(spark, args) -> int:
+    """Create (first run) or incrementally refresh a materialized view
+    over the target table: --keys role --sum chars='length(text)'."""
+    from oec_etl_spark.streaming.mview import MaterializedView
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sums = {}
+    for spec in args.sum or []:
+        name, _, expr = spec.partition("=")
+        if not expr:
+            raise SystemExit(f"--sum wants NAME=SQL_EXPR, got {spec!r}")
+        sums[name] = expr
+    mv = MaterializedView(spark, args.view, args.keys.split(","), sum_exprs=sums)
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    print(json.dumps(mv.refresh(sink)))
     return 0
 
 
@@ -309,7 +328,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "stats", "vacuum", "rollback",
+                 "changelog", "rebucket", "history", "stats", "vacuum", "rollback", "mview",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -355,6 +374,11 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--older-than-s", type=float, default=3600.0)
         if name == "rollback":
             sp.add_argument("--to-version", type=int, required=True)
+        if name == "mview":
+            sp.add_argument("--view", required=True, help="view state directory")
+            sp.add_argument("--keys", required=True, help="comma-separated group keys")
+            sp.add_argument("--sum", action="append", default=None,
+                            metavar="NAME=SQL_EXPR", help="additive measure over payload columns")
         sp.add_argument("--buckets", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -374,6 +398,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_vacuum(spark, args)
         if args.cmd == "rollback":
             return cmd_rollback(spark, args)
+        if args.cmd == "mview":
+            return cmd_mview(spark, args)
         if args.cmd == "changelog":
             return cmd_changelog(spark, args)
         if args.cmd == "rebucket":
