@@ -75,6 +75,14 @@ class EngineConfig:
     # JSONL): rows/sec, per-trigger latency breakdown, source offset
     # ranges — the Spark-side view the lineage log can't see. Opt-in.
     metrics_path: str | None = None
+    # Materialized views kept current INSIDE the streaming loop: each
+    # entry {"path": dir, "group_keys": [...], "sum_exprs": {name: SQL}}
+    # is refreshed right after every batch commit (O(changed keys) per
+    # refresh — see streaming/mview.py). A crash between commit and
+    # refresh is harmless: the next refresh diffs across both versions.
+    # Ignored under routed fan-out (each route is its own table; refresh
+    # its views with the standalone CLI/mview API).
+    mviews: list[dict] | None = None
     format: str = "parquet"  # change-log segment format: parquet|json
     # Declarative source binding (connectors.py, the conns.yaml analog):
     # when set, `changes_dir` is a connector NAME in this registry file;

@@ -148,6 +148,18 @@ def _build_query(
             return
         rec = sink.merge(valid, batch_id, quarantined=n_bad)
         rec.compacted_buckets = housekeep(sink)
+        if cfg.mviews:
+            # keep declared downstream aggregates current in the same
+            # loop — each refresh is O(changed keys) off the CDF, and
+            # idempotent, so a crash here just means the next batch's
+            # refresh diffs across two base versions instead of one
+            from oec_etl_spark.streaming.mview import MaterializedView
+
+            for spec in cfg.mviews:
+                MaterializedView(
+                    spark, spec["path"], spec["group_keys"],
+                    sum_exprs=spec.get("sum_exprs"),
+                ).refresh(sink)
         lineages.append(rec)
         append_jsonl(lineage_path, rec.to_dict())
 

@@ -152,3 +152,28 @@ def test_mview_cli_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert first["mode"] == "full" and first["groups"] > 0
     assert cli.main(argv) == 0
     assert json.loads(capsys.readouterr().out.strip())["mode"] == "noop"
+
+
+def test_engine_maintains_views_inside_the_loop(spark, tmp_path):
+    """EngineConfig.mviews: the streaming loop refreshes declared views
+    after every batch commit — after an interrupted replay plus resume,
+    the view is current with no manual refresh ever issued."""
+    generate_changelog(
+        GeneratorConfig(out_dir=str(tmp_path / "changes"), seed=66,
+                        n_conversations=40, n_segments=5, update_ratio=1.0)
+    )
+    spec = {"path": str(tmp_path / "mv"), "group_keys": KEYS, "sum_exprs": SUMS}
+    cfg = EngineConfig(
+        changes_dir=str(tmp_path / "changes"), target_dir=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "c"), n_buckets=8, max_files_per_trigger=1,
+        mviews=[spec],
+    )
+    with pytest.raises(Exception, match="injected failure"):
+        run_replay(spark, cfg, fail_after_batches=2)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, 8)
+    mv = MaterializedView(spark, spec["path"], KEYS, sum_exprs=SUMS)
+    man = mv._load_manifest()
+    assert man["base_version"] == sink.load_manifest()["version"]  # current, not stale
+    assert man["view_version"] >= 4  # refreshed per batch, not once at the end
+    assert _view_state(mv) == _recompute(sink)
