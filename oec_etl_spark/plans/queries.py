@@ -1192,6 +1192,40 @@ def doc_repetition_filter(spark, sf_dir):
 
 
 @_register(
+    "doc_pipeline_gate",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN len(t) < 20 THEN 'too_short'
+                WHEN {tx.mean_word_len_sql("text", "t")} NOT BETWEEN 3.0 AND 10.0 THEN 'weird_words'
+                WHEN {tx.dup_word_frac_sql("t")} > 0.55 THEN 'repetitive'
+                WHEN {tx.quality_score_sql("text")} < 0.05 THEN 'low_quality'
+                ELSE 'keep' END AS verdict
+    FROM toks
+    """,
+    tags="single-pass filtering-stage gate: every hygiene rule evaluated in one scan, "
+         "first failing rule attributed as the reject reason (C4-style verdict codes)",
+)
+def doc_pipeline_gate(spark, sf_dir):
+    """The operational shape of a corpus-filter stage: ALL rules in one
+    codegen'd CASE over one scan (no per-rule passes), emitting keep or
+    the first failing reason — at 100 TB this is scan→project with zero
+    shuffles, and the reasons feed the per-lang drop-rate monitors."""
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_words = F.size(tx.tokens(c)).cast("long")
+    mwl = tx.mean_word_len(c)
+    verdict = (
+        F.when(n_words < 20, "too_short")
+        .when(~mwl.between(3.0, 10.0), "weird_words")
+        .when(tx.dup_word_frac(c) > 0.55, "repetitive")
+        .when(tx.quality_score(c) < 0.05, "low_quality")
+        .otherwise("keep")
+    )
+    return d.select("doc_id", "lang", verdict.alias("verdict"))
+
+
+@_register(
     "events_zorder_key",
     f"""
     WITH b AS (SELECT min(user_id) AS __xmin, max(user_id) AS __xmax,
