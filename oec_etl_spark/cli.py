@@ -16,6 +16,7 @@ idempotent command surface::
         changelog --target DIR --from-version V [--to-version W]  # CDF feed
         rebucket  --target DIR --new-buckets N   # bucket-layout evolution
         history   --target DIR                   # snapshot versions
+        schema-history --target DIR              # schema-evolution timeline
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         rollback  --target DIR --to-version V    # metadata-only undo
         mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
@@ -197,6 +198,36 @@ def cmd_history(spark, args) -> int:
     return 0
 
 
+def cmd_schema_history(spark, args) -> int:
+    """One JSON line per snapshot whose schema differs from its
+    predecessor: the table's evolution timeline (added columns, type
+    widenings) straight off the manifest chain — the audit trail for
+    the engine's schema-reconciliation decisions."""
+    from pyspark.sql import types as T
+
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    prev: dict[str, str] = {}
+    for h in sink.history():
+        man = sink.load_manifest(h["version"])
+        cur = {
+            f.name: f.dataType.simpleString()
+            for f in T.StructType.fromJson(man["schema"]).fields
+        }
+        if cur != prev:
+            print(json.dumps({
+                "version": man["version"],
+                "committed_at": man.get("committed_at"),
+                "added": sorted(set(cur) - set(prev)),
+                "retyped": {k: f"{prev[k]} -> {cur[k]}" for k in cur
+                            if k in prev and cur[k] != prev[k]},
+                "schema": cur,
+            }))
+        prev = cur
+    return 0
+
+
 def cmd_stats(spark, args) -> int:
     """Aggregate the lineage log into one operational summary: totals,
     throughput, conflict/duplicate/quarantine counts, hot-key batches."""
@@ -328,7 +359,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "stats", "vacuum", "rollback", "mview",
+                 "changelog", "rebucket", "history", "schema-history", "stats",
+                 "vacuum", "rollback", "mview",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -406,6 +438,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_rebucket(spark, args)
         if args.cmd == "history":
             return cmd_history(spark, args)
+        if args.cmd == "schema-history":
+            return cmd_schema_history(spark, args)
         if args.cmd == "stats":
             return cmd_stats(spark, args)
         if args.cmd == "branch":

@@ -222,3 +222,29 @@ def test_rollback_cli(spark, tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["rolled_back_to"] == 1
     assert sorted(map(tuple, sink.read_table().collect())) == want
+
+
+def test_schema_history_cli_shows_evolution_timeline(spark, tmp_path, monkeypatch, capsys):
+    """schema-history prints one line per snapshot whose schema changed:
+    the initial schema, then the widened/extended ones, never the
+    unchanged commits in between."""
+    from pyspark.sql import functions as F
+
+    sink = _seed_table(spark, tmp_path)  # v1..v2 same schema
+    # a batch carrying a brand-new payload column evolves the target
+    extra = spark.createDataFrame(
+        [(100, "I", "c_new", 0, "user", "hi", None, None, "s", 100, "gpt")],
+        "seq long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, source_file string, offset long, "
+        "model string",
+    )
+    sink.merge(extra, batch_id=77)
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["schema-history", "--target", sink.root, "--buckets", "8"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2  # initial schema + the one evolution
+    assert lines[0]["version"] == 1 and "text" in lines[0]["added"]
+    assert lines[1]["added"] == ["model"] and lines[1]["retyped"] == {}
