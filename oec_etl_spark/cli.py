@@ -120,7 +120,12 @@ def cmd_compact(spark, args) -> int:
     from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
     sink = ParquetSnapshotSink(spark, args.target, args.buckets, table_mode="mor")
-    done = sink.compact()
+    horizon = None
+    if args.tombstone_horizon:
+        import datetime
+
+        horizon = datetime.datetime.fromisoformat(args.tombstone_horizon)
+    done = sink.compact(tombstone_horizon=horizon)
     expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
     print(json.dumps({"compacted_buckets": done, "expired": expired}))
     return 0
@@ -402,6 +407,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "compact":
             sp.add_argument("--expire", action="store_true")
             sp.add_argument("--keep-snapshots", type=int, default=2)
+            sp.add_argument("--tombstone-horizon", default=None, metavar="ISO_TS",
+                            help="drop tombstones with ts older than this (must be "
+                                 "at most now - max event disorder)")
         if name == "vacuum":
             sp.add_argument("--older-than-s", type=float, default=3600.0)
         if name == "rollback":

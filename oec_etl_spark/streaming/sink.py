@@ -331,13 +331,23 @@ class ParquetSnapshotSink:
             deleted.append(rel)
         return deleted
 
-    def compact(self, buckets: list[int] | None = None) -> list[int]:
+    def compact(
+        self, buckets: list[int] | None = None, tombstone_horizon: object = None
+    ) -> list[int]:
         """Merge-on-read compaction: rewrite each chosen bucket's base as
         the LWW merge of (base ∪ deltas) and clear its delta list —
         Iceberg's ``rewrite_data_files`` analog. Tombstones are RETAINED
-        in the compacted base: a late out-of-order event must still lose
-        to a newer delete, which it can only do if the tombstone's
-        (ts, seq) survives (drop them only past a disorder horizon).
+        in the compacted base by default: a late out-of-order event must
+        still lose to a newer delete, which it can only do if the
+        tombstone's (ts, seq) survives.
+
+        ``tombstone_horizon`` (a timestamp) drops tombstones with
+        ``ts < horizon`` during the rewrite — set it to ``now - max
+        event disorder`` (the same bound a dedup watermark uses): the
+        stream contract says no event older than the horizon can still
+        arrive, so those tombstones can never lose-protect anything
+        again and deleted keys stop occupying space forever. Tombstones
+        with NULL ts are kept (no ordering evidence to expire on).
         Returns the buckets compacted."""
         man = self.load_manifest()
         if man is None or not man.get("deltas"):
@@ -349,6 +359,11 @@ class ParquetSnapshotSink:
             return []
         schema = T.StructType.fromJson(man["schema"])
         merged = self._read_current(man, schema, chosen)
+        if tombstone_horizon is not None:
+            merged = merged.filter(
+                ~(F.col(META_DELETED) & F.col("ts").isNotNull()
+                  & (F.col("ts") < F.lit(tombstone_horizon)))
+            )
         store = with_bucket(merged, self.n_buckets)
         new_version = man["version"] + 1
         self._precheck_version(new_version)  # before touching data/v{new_version}

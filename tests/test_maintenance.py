@@ -143,6 +143,79 @@ def test_vacuum_cli_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert not os.path.exists(orphan)
 
 
+# ------------------------------------------- tombstone horizon expiry
+def test_compact_tombstone_horizon_expiry(spark, tmp_path):
+    """compact(tombstone_horizon=H) drops only tombstones with ts < H:
+    live rows and newer/NULL-ts tombstones survive the rewrite, the
+    visible table is unchanged, and a late event older than a KEPT
+    tombstone still loses to it after compaction."""
+    import datetime
+
+    from oec_etl_spark.schemas import META_DELETED
+    from pyspark.sql import functions as F, types as T
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "target"), 4, table_mode="mor")
+    rows1 = [
+        (1, "I", "c1", 0, "user", "a", None, t(0), "s", 0),
+        (2, "I", "c2", 0, "user", "b", None, t(0), "s", 1),
+        (3, "I", "c3", 0, "user", "c", None, t(0), "s", 2),
+    ]
+    rows2 = [
+        (4, "D", "c1", 0, None, None, None, t(1), "s", 3),   # expired (< horizon)
+        (5, "D", "c2", 0, None, None, None, t(3), "s", 4),   # kept (>= horizon)
+        (6, "D", "c4", 0, None, None, None, None, "s", 5),   # kept (NULL ts)
+    ]
+    sink.merge(spark.createDataFrame(rows1, CHANGE_SCHEMA), batch_id=1)
+    sink.merge(spark.createDataFrame(rows2, CHANGE_SCHEMA), batch_id=2)
+
+    def tombstones():
+        man = sink.load_manifest()
+        schema = T.StructType.fromJson(man["schema"])
+        cur = sink._read_current(man, schema).filter(F.col(META_DELETED))
+        return {r["conv_id"] for r in cur.collect()}
+
+    assert tombstones() == {"c1", "c2", "c4"}
+    done = sink.compact(tombstone_horizon=t(2))
+    assert done  # every bucket with rows was dirty (pure-delta mor table)
+    # visible table unchanged; only the pre-horizon tombstone is gone
+    assert {r["conv_id"] for r in sink.read_table().collect()} == {"c3"}
+    assert tombstones() == {"c2", "c4"}
+    # a kept tombstone still lose-protects: late update (ts < c2's delete)
+    late = [(7, "U", "c2", 0, "user", "zombie", None, t(2, 30), "s", 6)]
+    sink.merge(spark.createDataFrame(late, CHANGE_SCHEMA), batch_id=3)
+    assert {r["conv_id"] for r in sink.read_table().collect()} == {"c3"}
+
+
+def test_compact_tombstone_horizon_cli(spark, tmp_path, monkeypatch, capsys):
+    """`compact --tombstone-horizon` parses the ISO timestamp and an
+    all-future horizon clears every dated tombstone without changing
+    the visible table."""
+    from oec_etl_spark.schemas import META_DELETED
+    from pyspark.sql import functions as F, types as T
+
+    _gen(tmp_path, seed=50, n_conversations=40, n_segments=4, delete_ratio=0.3)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor")
+    run_replay(spark, cfg)
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, 8, table_mode="mor")
+    man = sink.load_manifest()
+    schema = T.StructType.fromJson(man["schema"])
+    assert sink._read_current(man, schema).filter(F.col(META_DELETED)).count() > 0
+    assert cli.main(["compact", "--target", cfg.target_dir, "--buckets", "8",
+                     "--tombstone-horizon", "2100-01-01T00:00:00"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["compacted_buckets"]
+    man = sink.load_manifest()
+    schema = T.StructType.fromJson(man["schema"])
+    assert sink._read_current(man, schema).filter(
+        F.col(META_DELETED) & F.col("ts").isNotNull()).count() == 0
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
 # ------------------------------------------------ rollback / AS OF ts
 def test_rollback_restores_state_and_ingest_continues(spark, tmp_path):
     """Rollback is a metadata-only commit of the old snapshot's state:
