@@ -349,6 +349,18 @@ def cmd_publish(spark, args) -> int:
     return 0
 
 
+def cmd_clone(spark, args) -> int:
+    """Fork the table: deep-copy a snapshot (default: head) into an
+    independent root. Pair with a copied checkpoint to fork the
+    pipeline itself (the epoch guard travels with the manifest)."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    v = sink.clone(args.dest, version=args.version)
+    print(json.dumps({"cloned_version": v, "dest": args.dest}))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -365,7 +377,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats",
-                 "vacuum", "rollback", "mview",
+                 "vacuum", "rollback", "mview", "clone",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -414,6 +426,9 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--older-than-s", type=float, default=3600.0)
         if name == "rollback":
             sp.add_argument("--to-version", type=int, required=True)
+        if name == "clone":
+            sp.add_argument("--dest", required=True)
+            sp.add_argument("--version", type=int, default=None)
         if name == "mview":
             sp.add_argument("--view", required=True, help="view state directory")
             sp.add_argument("--keys", required=True, help="comma-separated group keys")
@@ -438,6 +453,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_vacuum(spark, args)
         if args.cmd == "rollback":
             return cmd_rollback(spark, args)
+        if args.cmd == "clone":
+            return cmd_clone(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

@@ -532,6 +532,45 @@ class ParquetSnapshotSink:
         self._commit(man)
         return man["version"]
 
+    def clone(self, dest_root: str, version: int | None = None) -> int:
+        """Fork the table (Delta ``DEEP CLONE`` analog): copy the chosen
+        snapshot's referenced data files + manifest into ``dest_root``
+        as an independent table at the same version. Pure metadata +
+        file copy — no Spark job, no shuffle, no rewrite (at cluster
+        scale this is a distributed file copy); tombstones and MOR
+        delta files are preserved byte-for-byte, so the clone merges
+        and compacts exactly like the source. The epoch guard
+        (``committed_batches``) travels with the manifest, so resuming
+        the source stream against the clone with a COPY of the
+        checkpoint continues exactly-once — a pipeline fork for
+        dev/test, migration, or blue/green cutover. Branch refs, tags,
+        and older history do NOT travel (they pin snapshots the clone
+        doesn't carry). Returns the cloned version."""
+        import shutil
+
+        man = self.load_manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        if os.path.exists(os.path.join(dest_root, "CURRENT")):
+            raise ValueError(f"{dest_root} already holds a table — refusing to overwrite")
+        pairs: set[tuple[str, int]] = set()
+        for b, vdir in man.get("buckets", {}).items():
+            pairs.add((vdir, int(b)))
+        for b, ddirs in man.get("deltas", {}).items():
+            pairs.update((d, int(b)) for d in ddirs)
+        for vdir, b in sorted(pairs):
+            rel = os.path.join(vdir, f"{META_BUCKET}={b}")
+            shutil.copytree(os.path.join(self.root, rel), os.path.join(dest_root, rel))
+        v = int(man["version"])
+        os.makedirs(os.path.join(dest_root, "_manifests"), exist_ok=True)
+        with open(os.path.join(dest_root, "_manifests", f"manifest-{v:06d}.json"), "w") as f:
+            json.dump(man, f, default=str)
+        tmp = os.path.join(dest_root, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, os.path.join(dest_root, "CURRENT"))
+        return v
+
     def version_as_of(self, ts: float) -> int:
         """Newest snapshot committed at or before UNIX time ``ts``
         (TIMESTAMP AS OF analog): ``read_table(version_as_of(ts))``.
