@@ -361,6 +361,17 @@ def cmd_clone(spark, args) -> int:
     return 0
 
 
+def cmd_purge(spark, args) -> int:
+    """Right-to-be-forgotten: physically erase conversations from every
+    retained snapshot (history, deltas, tombstones, lineage hot-keys).
+    The source change log and any quarantine dir are caller-owned."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    print(json.dumps(sink.purge_keys(args.key)))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -377,7 +388,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats",
-                 "vacuum", "rollback", "mview", "clone",
+                 "vacuum", "rollback", "mview", "clone", "purge",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -429,6 +440,10 @@ def main(argv: list[str] | None = None) -> int:
         if name == "clone":
             sp.add_argument("--dest", required=True)
             sp.add_argument("--version", type=int, default=None)
+        if name == "purge":
+            sp.add_argument("--key", action="append", required=True,
+                            metavar="CONV_ID", help="conversation to erase "
+                            "from every retained snapshot (repeatable)")
         if name == "mview":
             sp.add_argument("--view", required=True, help="view state directory")
             sp.add_argument("--keys", required=True, help="comma-separated group keys")
@@ -455,6 +470,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_rollback(spark, args)
         if args.cmd == "clone":
             return cmd_clone(spark, args)
+        if args.cmd == "purge":
+            return cmd_purge(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

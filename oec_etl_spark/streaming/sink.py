@@ -571,6 +571,113 @@ class ParquetSnapshotSink:
         os.replace(tmp, os.path.join(dest_root, "CURRENT"))
         return v
 
+    def purge_keys(self, conv_ids: list[str]) -> dict:
+        """Right-to-be-forgotten hard delete: physically remove every
+        row of the given conversations from EVERY retained snapshot —
+        current, historical, branch-pinned, MOR deltas, and tombstones
+        (whose key column is itself the identifier) — plus the hot-key
+        ids recorded in manifest/JSONL lineage. A tombstone-producing
+        ``merge`` only hides a key going forward; time travel and the
+        change feed still serve the old rows, which GDPR/CCPA erasure
+        does not allow.
+
+        Scale shape: the rewrite is pruned by the bucket hash to ONE
+        bucket directory per purged key per data version and per
+        layout (``rebucket`` history is honored), i.e. O(versions)
+        map-only rewrites of 1/n_buckets of the data each — never a
+        full-table pass. The membership test uses a literal IN for the
+        CLI-sized key lists this serves; purging millions of keys at
+        once would swap it for a broadcast anti-join.
+
+        Out of scope (caller-owned inputs, not table state): the
+        source change-log segments and any quarantine directory.
+        A LATER change event for a purged key recreates it — run the
+        purge after the stream can no longer carry that key. Returns
+        ``{keys, dirs_rewritten, rows_purged, lineage_scrubbed}``."""
+        import shutil
+
+        mdir = os.path.join(self.root, "_manifests")
+        names = sorted(os.listdir(mdir))
+        mans = []
+        for n in names:
+            with open(os.path.join(mdir, n)) as f:
+                mans.append(json.load(f))
+        ids_df = self.spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+        bucket_of: dict[int, set[int]] = {}
+        for nb in {int(m.get("n_buckets") or self.n_buckets) for m in mans}:
+            bucket_of[nb] = {r[META_BUCKET] for r in with_bucket(ids_df, nb).collect()}
+        targets: set[str] = set()
+        for m in mans:
+            wanted = bucket_of[int(m.get("n_buckets") or self.n_buckets)]
+            for b, vdir in m.get("buckets", {}).items():
+                if int(b) in wanted:
+                    targets.add(os.path.join(vdir, f"{META_BUCKET}={int(b)}"))
+            for b, ddirs in m.get("deltas", {}).items():
+                if int(b) in wanted:
+                    targets.update(
+                        os.path.join(d, f"{META_BUCKET}={int(b)}") for d in ddirs
+                    )
+        rewritten: list[str] = []
+        purged = 0
+        for rel in sorted(targets):
+            full = os.path.join(self.root, rel)
+            tmp, old = full + ".__purge_tmp", full + ".__purge_old"
+            # crash recovery, in swap order: a complete tmp whose dir
+            # vanished mid-swap is the new truth; anything else is stale
+            if not os.path.isdir(full) and os.path.isdir(tmp):
+                os.rename(tmp, full)
+            for leftover in (old, tmp):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover)
+            if not os.path.isdir(full):
+                continue  # already expired/vacuumed
+            df = self.spark.read.parquet(full)
+            hit = df.filter(F.col("conv_id").isin(conv_ids)).count()
+            if not hit:
+                continue
+            df.filter(~F.col("conv_id").isin(conv_ids)).write.parquet(tmp)
+            os.rename(full, old)
+            os.rename(tmp, full)
+            shutil.rmtree(old)
+            purged += hit
+            rewritten.append(rel)
+        # lineage scrub: hot-key records carry conv_id in manifests and
+        # in the _lineage JSONL feed
+        scrubbed = 0
+        gone = set(conv_ids)
+        for name, m in zip(names, mans):
+            dirty = False
+            for rec in m.get("lineage", []):
+                hot = rec.get("hot_keys")
+                if hot and any(h.get("conv_id") in gone for h in hot):
+                    rec["hot_keys"] = [h for h in hot if h.get("conv_id") not in gone]
+                    dirty = True
+                    scrubbed += 1
+            if dirty:
+                path = os.path.join(mdir, name)
+                with open(path + ".tmp", "w") as f:
+                    json.dump(m, f, default=str)
+                os.replace(path + ".tmp", path)
+        jpath = os.path.join(self.root, "_lineage", "lineage.jsonl")
+        if os.path.exists(jpath):
+            out_lines = []
+            for line in open(jpath):
+                rec = json.loads(line)
+                hot = rec.get("hot_keys")
+                if hot and any(h.get("conv_id") in gone for h in hot):
+                    rec["hot_keys"] = [h for h in hot if h.get("conv_id") not in gone]
+                    scrubbed += 1
+                out_lines.append(json.dumps(rec))
+            with open(jpath + ".tmp", "w") as f:
+                f.write("\n".join(out_lines) + ("\n" if out_lines else ""))
+            os.replace(jpath + ".tmp", jpath)
+        return {
+            "keys": list(conv_ids),
+            "dirs_rewritten": rewritten,
+            "rows_purged": purged,
+            "lineage_scrubbed": scrubbed,
+        }
+
     def version_as_of(self, ts: float) -> int:
         """Newest snapshot committed at or before UNIX time ``ts``
         (TIMESTAMP AS OF analog): ``read_table(version_as_of(ts))``.
