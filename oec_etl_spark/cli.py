@@ -55,7 +55,20 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         branch=args.branch,
         compact_after_deltas=args.compact_after,
         metrics_path=args.metrics,
+        constraints=_name_sql_pairs(args, "constraint"),
     )
+
+
+def _name_sql_pairs(args: argparse.Namespace, attr: str) -> dict[str, str] | None:
+    if not getattr(args, attr, None):
+        return None
+    out = {}
+    for spec in getattr(args, attr):
+        name, _, pred = spec.partition("=")
+        if not pred:
+            raise SystemExit(f"--{attr} wants NAME=SQL_PREDICATE, got {spec!r}")
+        out[name] = pred
+    return out
 
 
 def cmd_replay(spark, args) -> int:
@@ -263,15 +276,7 @@ def cmd_stats(spark, args) -> int:
 
 
 def _expectations(args) -> dict[str, str] | None:
-    if not getattr(args, "expect", None):
-        return None
-    out = {}
-    for spec in args.expect:
-        name, _, pred = spec.partition("=")
-        if not pred:
-            raise SystemExit(f"--expect wants NAME=SQL_PREDICATE, got {spec!r}")
-        out[name] = pred
-    return out
+    return _name_sql_pairs(args, "expect")
 
 
 def cmd_branch(spark, args) -> int:
@@ -424,6 +429,10 @@ def main(argv: list[str] | None = None) -> int:
                             help="mor: compact a bucket once it holds this many delta files")
             sp.add_argument("--metrics", default=None, metavar="PATH",
                             help="append per-trigger StreamingQueryProgress metrics as JSONL")
+            sp.add_argument("--constraint", action="append", default=None,
+                            metavar="NAME=SQL_PREDICATE",
+                            help="merge-time CHECK constraint; violating rows "
+                                 "go to --quarantine tagged with NAME (deletes exempt)")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")

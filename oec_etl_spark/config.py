@@ -69,6 +69,14 @@ class EngineConfig:
     # routed fan-out (each route is its own table; branch them
     # individually).
     branch: str | None = None
+    # Merge-time CHECK constraints (Delta table-constraints analog):
+    # name → boolean SQL predicate over the change columns. A change
+    # row failing any predicate (FALSE or NULL) is diverted to the
+    # quarantine side output tagged with the constraint's name in
+    # ``__reject`` and never merged. Deletes are exempt (tombstones
+    # carry NULL payload by design). Evaluated as one codegen'd CASE
+    # inside the existing quarantine pass — zero extra scans.
+    constraints: dict[str, str] | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     # Trigger-level metrics feed (StreamingQueryProgress subset as

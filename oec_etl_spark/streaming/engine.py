@@ -55,17 +55,38 @@ def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
     return cfg.changes_dir, cfg.format
 
 
-def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(valid, malformed). Malformed = unknown op or null key — the
-    engine's DLQ, vs the reference's silent try/except-to-zero
-    (/root/reference/etl/countries/sweden/trade_monthly_pipeline.py:80-85)."""
+def quarantine_split(
+    df: DataFrame, constraints: dict[str, str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, rejected). Rejected rows carry a ``__reject`` column
+    naming the first failing rule — the engine's DLQ with reason
+    attribution, vs the reference's silent try/except-to-zero
+    (/root/reference/etl/countries/sweden/trade_monthly_pipeline.py:80-85).
+
+    Rules, in order: the built-in envelope check (unknown op / null
+    key → ``malformed``), then each declared CHECK constraint (Delta
+    table-constraints analog) — name → boolean SQL predicate over the
+    change columns. A predicate evaluating FALSE **or NULL** rejects
+    the row (SQL CHECK semantics would admit NULL; a data gate must
+    not let an unparseable row through on a technicality). Deletes
+    are exempt from constraints: a tombstone carries NULL payload by
+    design and must not be blocked by payload rules. One codegen'd
+    CASE over one scan — no per-rule passes."""
     ok = (
         F.col("op").isin(*VALID_OPS)
         & F.col("conv_id").isNotNull()
         & F.col("turn_idx").isNotNull()
         & F.col("seq").isNotNull()
     )
-    return df.filter(ok), df.filter(~ok)
+    reason = F.when(~ok, F.lit("malformed"))
+    for name, pred in (constraints or {}).items():
+        viol = (F.col("op") != "D") & ~F.coalesce(F.expr(pred), F.lit(False))
+        reason = reason.when(viol, F.lit(name))
+    df = df.withColumn("__reject", reason)
+    return (
+        df.filter(F.col("__reject").isNull()).drop("__reject"),
+        df.filter(F.col("__reject").isNotNull()),
+    )
 
 
 def _build_query(
@@ -97,7 +118,7 @@ def _build_query(
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if fail_after_batches is not None and len(lineages) >= fail_after_batches:
             raise RuntimeError("injected failure (test hook)")
-        valid, bad = quarantine_split(bdf)
+        valid, bad = quarantine_split(bdf, cfg.constraints)
         n_bad = 0
         if cfg.quarantine_dir is not None:
             bad = bad.cache()
