@@ -377,6 +377,23 @@ def cmd_purge(spark, args) -> int:
     return 0
 
 
+def cmd_consume(spark, args) -> int:
+    """Pull a named consumer's new changes off the table's change feed.
+    With --out: write them as parquet and ack (at-least-once delivery);
+    without: peek — report what a pull would deliver, cursor unmoved."""
+    from oec_etl_spark.streaming.feed import ChangeFeedCursor
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    cur = ChangeFeedCursor(ParquetSnapshotSink(spark, args.target, args.buckets), args.cursor)
+    if args.out:
+        print(json.dumps(cur.deliver_to(args.out, pre_post=args.pre_post)))
+        return 0
+    changes, head = cur.read(pre_post=args.pre_post)
+    print(json.dumps({"cursor": args.cursor, "from": cur.position(),
+                      "to": head, "rows": changes.count(), "acked": False}))
+    return 0
+
+
 def cmd_lineage(spark, args) -> int:
     path = f"{args.target}/_lineage/lineage.jsonl"
     try:
@@ -393,7 +410,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats",
-                 "vacuum", "rollback", "mview", "clone", "purge",
+                 "vacuum", "rollback", "mview", "clone", "purge", "consume",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -449,6 +466,13 @@ def main(argv: list[str] | None = None) -> int:
         if name == "clone":
             sp.add_argument("--dest", required=True)
             sp.add_argument("--version", type=int, default=None)
+        if name == "consume":
+            sp.add_argument("--cursor", required=True, help="consumer name")
+            sp.add_argument("--out", default=None, metavar="DIR",
+                            help="deliver changes as parquet under DIR/v{head} "
+                                 "and ack; omit to peek without acking")
+            sp.add_argument("--pre-post", action="store_true",
+                            help="Delta-CDF shape: updates as pre+post images")
         if name == "purge":
             sp.add_argument("--key", action="append", required=True,
                             metavar="CONV_ID", help="conversation to erase "
@@ -481,6 +505,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_clone(spark, args)
         if args.cmd == "purge":
             return cmd_purge(spark, args)
+        if args.cmd == "consume":
+            return cmd_consume(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":
