@@ -133,12 +133,17 @@ def cmd_compact(spark, args) -> int:
     from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
     sink = ParquetSnapshotSink(spark, args.target, args.buckets, table_mode="mor")
-    horizon = None
-    if args.tombstone_horizon:
-        import datetime
+    if args.minor:
+        if args.tombstone_horizon:
+            raise SystemExit("--tombstone-horizon needs a full rewrite; drop --minor")
+        done = sink.compact_minor(min_deltas=args.min_deltas)
+    else:
+        horizon = None
+        if args.tombstone_horizon:
+            import datetime
 
-        horizon = datetime.datetime.fromisoformat(args.tombstone_horizon)
-    done = sink.compact(tombstone_horizon=horizon)
+            horizon = datetime.datetime.fromisoformat(args.tombstone_horizon)
+        done = sink.compact(tombstone_horizon=horizon)
     expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
     print(json.dumps({"compacted_buckets": done, "expired": expired}))
     return 0
@@ -459,6 +464,11 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--tombstone-horizon", default=None, metavar="ISO_TS",
                             help="drop tombstones with ts older than this (must be "
                                  "at most now - max event disorder)")
+            sp.add_argument("--minor", action="store_true",
+                            help="fold each bucket's delta files into one without "
+                                 "rewriting its base (O(deltas), not O(base))")
+            sp.add_argument("--min-deltas", type=int, default=2,
+                            help="minor: skip buckets with fewer delta files")
         if name == "vacuum":
             sp.add_argument("--older-than-s", type=float, default=3600.0)
         if name == "rollback":

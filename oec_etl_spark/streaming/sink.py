@@ -376,6 +376,55 @@ class ParquetSnapshotSink:
         self._commit(man)
         return chosen
 
+    def compact_minor(
+        self, buckets: list[int] | None = None, min_deltas: int = 2
+    ) -> list[int]:
+        """Minor compaction (the Iceberg/HBase minor-vs-major
+        distinction): fold each chosen bucket's DELTA files into one
+        delta file without touching its base. Cost is O(sum of that
+        bucket's deltas), never O(base) — the right tool for hot
+        buckets whose base is large but whose deltas are many and
+        small, i.e. the steady mor regime between major ``compact()``
+        rewrites. The LWW reduce is associative (a semilattice), so
+        reducing the deltas alone and merging with the base at read
+        time equals reducing everything at once; tombstones are
+        retained — a delta-level delete must still beat base rows and
+        late events. Buckets with fewer than ``min_deltas`` delta
+        files are skipped. Returns the buckets folded."""
+        man = self.load_manifest()
+        if man is None or not man.get("deltas"):
+            return []
+        self._sync_layout(man)
+        chosen = sorted(
+            int(b) for b, dd in man["deltas"].items()
+            if len(dd) >= min_deltas and (buckets is None or int(b) in buckets)
+        )
+        if not chosen:
+            return []
+        schema = T.StructType.fromJson(man["schema"])
+        store = storage_schema(schema)
+        rows = (
+            self.spark.read.schema(store)
+            .parquet(*self._delta_paths(man, chosen))
+            .withColumn("__file", F.xxhash64(F.input_file_name()))
+        )
+        folded = lww_reduce_hash(rows, order=("ts", META_SEQ, "__file")).drop("__file")
+        out = with_bucket(folded, self.n_buckets)
+        new_version = man["version"] + 1
+        self._precheck_version(new_version)  # before touching data/d{new_version}
+        vdir = f"data/d{new_version:06d}"
+        self._write_store(out, vdir)
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(self.root, vdir))
+            if d.startswith(f"{META_BUCKET}=")
+        }
+        man["version"] = new_version
+        for b in chosen:
+            man["deltas"][str(b)] = [vdir] if b in written else []
+        self._commit(man)
+        return chosen
+
     # ------------------------------------------------- branches (WAP)
     # Write-audit-publish (Iceberg branch / WAP pattern): stage commits
     # on a named branch, audit the branch snapshot, then fast-forward

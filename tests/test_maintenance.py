@@ -216,6 +216,67 @@ def test_compact_tombstone_horizon_cli(spark, tmp_path, monkeypatch, capsys):
     _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
 
 
+# ------------------------------------------------- minor compaction
+def test_compact_minor_folds_deltas_without_touching_base(spark, tmp_path):
+    """Minor compaction reduces each bucket's delta list to ONE file
+    set, leaves every base dir byte-identical, and preserves the table
+    exactly (tombstones included, LWW associativity)."""
+    _gen(tmp_path, seed=51, n_conversations=50, n_segments=6,
+         update_ratio=1.5, delete_ratio=0.2)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor")
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    man = sink.load_manifest()
+    assert any(len(dd) >= 2 for dd in man["deltas"].values())
+    bases_before = dict(man["buckets"])
+    base_files = {
+        p: os.path.getmtime(p)
+        for b in man["buckets"]
+        for p in [os.path.join(sink.root, man["buckets"][b], f"__bucket={int(b)}")]
+    }
+    done = sink.compact_minor()
+    assert done
+    man2 = sink.load_manifest()
+    assert man2["buckets"] == bases_before  # bases untouched in manifest…
+    for p, mt in base_files.items():  # …and on disk
+        assert os.path.getmtime(p) == mt
+    assert all(len(dd) <= 1 for dd in man2["deltas"].values())
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+    # old snapshots still readable (their delta dirs are retained)
+    for h in sink.history():
+        sink.read_table(version=h["version"]).count()
+    # the folded table keeps operating: more merges + a major compact
+    extra_dir = tmp_path / "extra"
+    generate_changelog(GeneratorConfig(out_dir=str(extra_dir), seed=52,
+                                       n_conversations=10, n_segments=1))
+    extra = spark.read.schema(CHANGE_SCHEMA).parquet(f"{extra_dir}/*.parquet")
+    sink.merge(extra, batch_id=8888)
+    assert sink.compact()
+    both = spark.read.schema(CHANGE_SCHEMA).parquet(
+        f"{cfg.changes_dir}/*.parquet", f"{extra_dir}/*.parquet")
+    valid, _ = quarantine_split(both)
+    _assert_table_equal(sink.read_table(), materialize(valid))
+
+
+def test_compact_minor_respects_min_deltas_and_cli(spark, tmp_path, monkeypatch, capsys):
+    _gen(tmp_path, seed=53, n_conversations=30, n_segments=4, update_ratio=1.0)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor")
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    max_dd = max(len(dd) for dd in sink.load_manifest()["deltas"].values())
+    assert sink.compact_minor(min_deltas=max_dd + 1) == []  # bar too high
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["compact", "--target", cfg.target_dir, "--buckets", "8",
+                     "--minor"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["compacted_buckets"]
+    assert all(len(dd) <= 1 for dd in sink.load_manifest()["deltas"].values())
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
 # ------------------------------------------------ rollback / AS OF ts
 def test_rollback_restores_state_and_ingest_continues(spark, tmp_path):
     """Rollback is a metadata-only commit of the old snapshot's state:
