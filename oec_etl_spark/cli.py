@@ -54,6 +54,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         format=args.format,
         branch=args.branch,
         compact_after_deltas=args.compact_after,
+        minor_compact_after=args.minor_compact_after,
         metrics_path=args.metrics,
         constraints=_name_sql_pairs(args, "constraint"),
     )
@@ -449,6 +450,9 @@ def main(argv: list[str] | None = None) -> int:
                             help="stage merges onto this WAP branch instead of main")
             sp.add_argument("--compact-after", type=int, default=None,
                             help="mor: compact a bucket once it holds this many delta files")
+            sp.add_argument("--minor-compact-after", type=int, default=None,
+                            help="mor: minor-fold a bucket's deltas at this count "
+                                 "(base untouched; mutually exclusive with --compact-after)")
             sp.add_argument("--metrics", default=None, metavar="PATH",
                             help="append per-trigger StreamingQueryProgress metrics as JSONL")
             sp.add_argument("--constraint", action="append", default=None,

@@ -37,6 +37,13 @@ class EngineConfig:
     # mor only: compact a bucket inside the streaming loop once it has
     # accumulated this many delta files (None = manual compact() only).
     compact_after_deltas: int | None = None
+    # mor only: MINOR-compact a bucket inside the streaming loop once it
+    # has this many delta files — folds them into one at O(deltas) cost,
+    # never touching the base. The cheap steady-state alternative to
+    # compact_after_deltas (which majors: rewrites base ∪ deltas);
+    # setting both is rejected — after a minor fold the delta count
+    # drops to 1, so a count-based major trigger would never fire.
+    minor_compact_after: int | None = None
     # Snapshot retention inside the streaming loop: after each commit,
     # expire all but the newest N snapshots (None = keep everything /
     # manual expire_snapshots() only). Long-running tails need this or
@@ -99,3 +106,11 @@ class EngineConfig:
     connectors_path: str | None = None
     source_params: dict[str, str] = field(default_factory=dict)
     extra_spark_conf: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.compact_after_deltas and self.minor_compact_after:
+            raise ValueError(
+                "set compact_after_deltas (major) OR minor_compact_after "
+                "(minor), not both — a minor fold drops the delta count to "
+                "1, so a count-based major trigger would never fire"
+            )

@@ -133,15 +133,19 @@ def _build_query(
             # crash-safe because compaction is itself an atomic manifest
             # swap and the epoch guard makes the next merge skip nothing.
             compacted: list[int] = []
-            if cfg.table_mode == "mor" and cfg.compact_after_deltas:
+            bound = cfg.compact_after_deltas or cfg.minor_compact_after
+            if cfg.table_mode == "mor" and bound:
                 man = s.load_manifest()
                 due = [
                     int(b)
                     for b, dd in (man or {}).get("deltas", {}).items()
-                    if len(dd) >= cfg.compact_after_deltas
+                    if len(dd) >= bound
                 ]
                 if due:
-                    compacted = s.compact(due)
+                    compacted = (
+                        s.compact(due) if cfg.compact_after_deltas
+                        else s.compact_minor(due, min_deltas=bound)
+                    )
             # retention: a long-running tail must not accumulate
             # manifests / superseded data versions forever. Expiry never
             # deletes files a kept snapshot references, so readers of

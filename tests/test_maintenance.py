@@ -258,6 +258,29 @@ def test_compact_minor_folds_deltas_without_touching_base(spark, tmp_path):
     _assert_table_equal(sink.read_table(), materialize(valid))
 
 
+def test_minor_compact_policy_in_stream(spark, tmp_path):
+    """minor_compact_after=2: after every commit no bucket holds >= 2
+    delta files (the loop folds them), base dirs written once at v1-era
+    stay unrewritten, and the final table matches the oracle."""
+    _gen(tmp_path, seed=54, n_conversations=50, n_segments=6, update_ratio=1.5)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor",
+               minor_compact_after=2)
+    recs = run_replay(spark, cfg)
+    assert any(r.compacted_buckets for r in recs)  # policy fired
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets, table_mode="mor")
+    man = sink.load_manifest()
+    assert all(len(dd) < 2 for dd in man["deltas"].values())
+    assert not man["buckets"]  # pure-delta table: no base was ever rewritten
+    _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
+
+
+def test_minor_and_major_policies_mutually_exclusive(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        _cfg(tmp_path, table_mode="mor", compact_after_deltas=2, minor_compact_after=2)
+
+
 def test_compact_minor_respects_min_deltas_and_cli(spark, tmp_path, monkeypatch, capsys):
     _gen(tmp_path, seed=53, n_conversations=30, n_segments=4, update_ratio=1.0)
     cfg = _cfg(tmp_path, max_files_per_trigger=1, table_mode="mor")
