@@ -383,6 +383,38 @@ def cmd_purge(spark, args) -> int:
     return 0
 
 
+def cmd_run(spark, args) -> int:
+    """Execute a declarative pipeline spec: one YAML = one CDC job
+    (mode + every EngineConfig knob). The deployable unit a reviewer
+    can read without chasing CLI flags."""
+    from oec_etl_spark.pipeline import load_pipeline
+
+    mode, cfg = load_pipeline(args.pipeline)
+    if mode == "replay":
+        from oec_etl_spark.streaming.engine import run_replay
+
+        recs = run_replay(spark, cfg)
+        print(json.dumps({"mode": mode, "batches": len(recs),
+                          "rows_applied": sum(r.rows_applied for r in recs)}))
+        return 0
+    from oec_etl_spark.streaming.engine import start_tail, stop_tail_metrics
+
+    query, recs = start_tail(spark, cfg)
+    try:
+        if args.for_seconds is not None:
+            query.awaitTermination(args.for_seconds)
+        else:
+            query.awaitTermination()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        query.stop()
+        stop_tail_metrics(spark, query)
+    print(json.dumps({"mode": mode, "batches": len(recs),
+                      "rows_applied": sum(r.rows_applied for r in recs)}))
+    return 0
+
+
 def cmd_consume(spark, args) -> int:
     """Pull a named consumer's new changes off the table's change feed.
     With --out: write them as parquet and ack (at-least-once delivery);
@@ -416,7 +448,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats",
-                 "vacuum", "rollback", "mview", "clone", "purge", "consume",
+                 "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -435,7 +467,13 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("replay", "resume", "tail", "verify"):
             sp.add_argument("--changes", required=True)
             sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
-        sp.add_argument("--target", required=True)
+        if name == "run":
+            sp.add_argument("--pipeline", required=True, metavar="YAML",
+                            help="declarative pipeline spec (mode + EngineConfig)")
+            sp.add_argument("--for-seconds", type=int, default=None,
+                            help="tail mode: stop after N seconds")
+        else:
+            sp.add_argument("--target", required=True)
         if name == "changelog":
             sp.add_argument("--from-version", type=int, required=True)
             sp.add_argument("--to-version", type=int, default=None)
@@ -521,6 +559,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_purge(spark, args)
         if args.cmd == "consume":
             return cmd_consume(spark, args)
+        if args.cmd == "run":
+            return cmd_run(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":
