@@ -641,7 +641,16 @@ class ParquetSnapshotSink:
         Out of scope (caller-owned inputs, not table state): the
         source change-log segments and any quarantine directory.
         A LATER change event for a purged key recreates it — run the
-        purge after the stream can no longer carry that key. Returns
+        purge after the stream can no longer carry that key.
+
+        Operational notes: (a) purge rewrites files IN PLACE without a
+        new snapshot version (erasure must reach history, so a new
+        version can't express it) — quiesce ingest and readers while
+        it runs, like any maintenance that breaks file immutability;
+        (b) already-delivered change-feed pulls and materialized-view
+        aggregates built before the purge may still embody the purged
+        rows' contributions — re-pull / rebuild those downstream
+        artifacts if erasure must propagate. Returns
         ``{keys, dirs_rewritten, rows_purged, lineage_scrubbed}``."""
         import shutil
 
