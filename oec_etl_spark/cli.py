@@ -281,6 +281,39 @@ def cmd_stats(spark, args) -> int:
     return 0
 
 
+def cmd_describe(spark, args) -> int:
+    """Table identity card from metadata alone (no Spark job): head
+    version + schema + layout, delta pressure (what minor/major
+    compaction and the in-loop policies act on), refs, and consumer
+    cursor positions."""
+    from pyspark.sql import types as T
+
+    from oec_etl_spark.streaming.feed import cursors
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    man = sink.load_manifest()
+    if man is None:
+        print(f"no committed snapshot under {args.target}", file=sys.stderr)
+        return 1
+    schema = T.StructType.fromJson(man["schema"])
+    deltas = man.get("deltas", {})
+    print(json.dumps({
+        "version": man["version"],
+        "committed_at": man.get("committed_at"),
+        "n_buckets": man.get("n_buckets"),
+        "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields],
+        "snapshots": len(sink.history()),
+        "committed_batches": len(man.get("committed_batches", [])),
+        "dirty_buckets": sum(1 for dd in deltas.values() if dd),
+        "max_deltas_per_bucket": max((len(dd) for dd in deltas.values()), default=0),
+        "branches": sink.branches() or None,
+        "tags": sink.tags() or None,
+        "cursors": cursors(sink) or None,
+    }))
+    return 0
+
+
 def _expectations(args) -> dict[str, str] | None:
     return _name_sql_pairs(args, "expect")
 
@@ -447,7 +480,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "schema-history", "stats",
+                 "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
@@ -573,6 +606,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_schema_history(spark, args)
         if args.cmd == "stats":
             return cmd_stats(spark, args)
+        if args.cmd == "describe":
+            return cmd_describe(spark, args)
         if args.cmd == "branch":
             return cmd_branch(spark, args)
         if args.cmd == "branches":

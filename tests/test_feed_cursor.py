@@ -96,6 +96,28 @@ def test_independent_cursors(spark, tmp_path):
     assert full.count() == sink.read_table().count()
 
 
+def test_describe_identity_card(spark, tmp_path, monkeypatch, capsys):
+    """`describe` reads metadata only: head version, schema, delta
+    pressure, refs, and cursor positions — no Spark job."""
+    cfg, sink = _seed(spark, tmp_path)
+    sink.tag("audited", version=1)
+    cur = ChangeFeedCursor(sink, "readers")
+    _, head = cur.read()
+    cur.ack(head)
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["describe", "--target", cfg.target_dir, "--buckets", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["version"] == head and out["n_buckets"] == 8
+    assert "conv_id:string" in out["schema"] and "ts:timestamp" in out["schema"]
+    assert out["snapshots"] >= 3 and out["committed_batches"] >= 3
+    assert out["cursors"] == {"readers": head}
+    assert out["tags"] == {"audited": 1}
+    assert out["max_deltas_per_bucket"] == 0  # cow table has no deltas
+
+
 def test_deliver_to_directory_sink_and_cli(spark, tmp_path, monkeypatch, capsys):
     cfg, sink = _seed(spark, tmp_path)
     out = str(tmp_path / "out")
