@@ -448,6 +448,16 @@ def cmd_run(spark, args) -> int:
     return 0
 
 
+def cmd_drop_column(spark, args) -> int:
+    """Metadata-only ALTER TABLE DROP COLUMN on the snapshot table."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    v = sink.alter_drop_column(args.column)
+    print(json.dumps({"dropped": args.column, "new_version": v}))
+    return 0
+
+
 def cmd_consume(spark, args) -> int:
     """Pull a named consumer's new changes off the table's change feed.
     With --out: write them as parquet and ack (at-least-once delivery);
@@ -482,6 +492,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
+                 "drop-column",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -558,6 +569,9 @@ def main(argv: list[str] | None = None) -> int:
                                  "and ack; omit to peek without acking")
             sp.add_argument("--pre-post", action="store_true",
                             help="Delta-CDF shape: updates as pre+post images")
+        if name == "drop-column":
+            sp.add_argument("--column", required=True,
+                            help="payload column to drop (metadata-only commit)")
         if name == "purge":
             sp.add_argument("--key", action="append", required=True,
                             metavar="CONV_ID", help="conversation to erase "
@@ -594,6 +608,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_consume(spark, args)
         if args.cmd == "run":
             return cmd_run(spark, args)
+        if args.cmd == "drop-column":
+            return cmd_drop_column(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

@@ -56,6 +56,7 @@ from oec_etl_spark.operators.bucketing import with_bucket
 from oec_etl_spark.operators.lww import lww_reduce, lww_reduce_hash
 from oec_etl_spark.schemas import (
     KEY_COLUMNS,
+    ORDER_COLUMNS,
     META_BUCKET,
     META_DELETED,
     META_SEQ,
@@ -375,6 +376,51 @@ class ParquetSnapshotSink:
             man["deltas"][str(b)] = []
         self._commit(man)
         return chosen
+
+    def alter_drop_column(self, name: str) -> int:
+        """DROP COLUMN (Iceberg ``ALTER TABLE … DROP COLUMN`` analog):
+        rewrite the CURRENT state without the column and commit the
+        narrowed schema as a new snapshot. The rewrite is deliberate,
+        not metadata-only: this store maps columns by NAME (no Iceberg
+        field IDs), so a manifest-only drop would silently resurrect
+        the old files' values the moment a later batch re-adds the
+        same column name — physical removal is the only sound drop
+        under name-based mapping, and it also erases the dropped
+        values from the live table immediately. Cost: one bucket-
+        parallel scan + write of the head state, same shape as a full
+        ``compact()``. Old snapshots keep the column (their manifests
+        and files are untouched); a later change batch carrying the
+        name re-adds it via normal evolution with NULLs on old rows.
+        Key and LWW-order columns cannot be dropped. Returns the new
+        head version."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self._sync_layout(man)
+        schema = T.StructType.fromJson(man["schema"])
+        if name not in [f.name for f in schema.fields]:
+            raise KeyError(f"no column {name!r} in {self.root}")
+        if name in KEY_COLUMNS or name in ORDER_COLUMNS:
+            raise ValueError(f"column {name!r} is a key/order column — cannot drop")
+        rows = self._read_current(man, schema).drop(name)  # tombstones kept
+        store = with_bucket(rows, self.n_buckets)
+        new_version = man["version"] + 1
+        self._precheck_version(new_version)  # before touching data/v{new_version}
+        vdir = f"data/v{new_version:06d}"
+        self._write_store(store, vdir)
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(self.root, vdir))
+            if d.startswith(f"{META_BUCKET}=")
+        )
+        man["version"] = new_version
+        man["schema"] = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        ).jsonValue()
+        man["buckets"] = {str(b): vdir for b in written}
+        man["deltas"] = {}
+        self._commit(man)
+        return new_version
 
     def compact_minor(
         self, buckets: list[int] | None = None, min_deltas: int = 2
