@@ -145,7 +145,14 @@ def cmd_compact(spark, args) -> int:
 
             horizon = datetime.datetime.fromisoformat(args.tombstone_horizon)
         done = sink.compact(tombstone_horizon=horizon)
-    expired = sink.expire_snapshots(keep_last=args.keep_snapshots) if args.expire else []
+    expired = []
+    if args.expire:
+        older = None
+        if args.expire_before:
+            import datetime
+
+            older = datetime.datetime.fromisoformat(args.expire_before).timestamp()
+        expired = sink.expire_snapshots(keep_last=args.keep_snapshots, older_than_ts=older)
     print(json.dumps({"compacted_buckets": done, "expired": expired}))
     return 0
 
@@ -277,6 +284,24 @@ def cmd_stats(spark, args) -> int:
         "events_per_sec": round((sum(r.get("rows_in_batch") or 0 for r in recs)) / wall, 1) if wall else None,
         "routes": sorted({r["route"] for r in recs if r.get("route")}) or None,
     }
+    # transport-loss probe: the union of every batch's applied [seq_min,
+    # seq_max] range should be one contiguous interval for a gapless
+    # binlog (redelivery/disorder only OVERLAP ranges, never hole them);
+    # holes mean the source skipped sequence numbers → investigate
+    spans = sorted(
+        (r["seq_min"], r["seq_max"]) for r in recs
+        if r.get("seq_min") is not None and r.get("seq_max") is not None
+    )
+    gaps, hi = [], None
+    for lo, up in spans:
+        if hi is not None and lo > hi + 1:
+            gaps.append([hi + 1, lo - 1])
+        hi = up if hi is None else max(hi, up)
+    out["seq_coverage"] = {
+        "min": spans[0][0] if spans else None,
+        "max": hi,
+        "gaps": gaps,
+    } if spans else None
     print(json.dumps(out))
     return 0
 
@@ -547,6 +572,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "compact":
             sp.add_argument("--expire", action="store_true")
             sp.add_argument("--keep-snapshots", type=int, default=2)
+            sp.add_argument("--expire-before", default=None, metavar="ISO_TS",
+                            help="with --expire: never expire snapshots committed "
+                                 "at/after this time (age-based retention floor)")
             sp.add_argument("--tombstone-horizon", default=None, metavar="ISO_TS",
                             help="drop tombstones with ts older than this (must be "
                                  "at most now - max event disorder)")

@@ -251,16 +251,33 @@ class ParquetSnapshotSink:
             )
         return out
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ts: float | None = None
+    ) -> list[str]:
         """Snapshot expiry (Iceberg ``expireSnapshots`` analog): drop
         manifests older than the newest ``keep_last`` and delete data
-        version-dirs no kept manifest references. Readers of kept
-        snapshots are unaffected (their files are all retained).
-        Returns the deleted paths."""
+        version-dirs no kept manifest references. ``older_than_ts``
+        (UNIX time) adds an age floor — Iceberg's ``olderThan``: a
+        snapshot committed at or after it is kept even beyond
+        keep_last, so "retain 7 days of history" composes with "always
+        keep the newest N". Readers of kept snapshots are unaffected
+        (their files are all retained). Returns the deleted paths."""
         import shutil
 
         mdir = os.path.join(self.root, "_manifests")
         names = sorted(os.listdir(mdir))
+        if older_than_ts is not None:
+            young = []
+            for n in names:
+                path = os.path.join(mdir, n)
+                with open(path) as f:
+                    man = json.load(f)
+                at = man.get("committed_at") or os.path.getmtime(path)
+                if float(at) >= older_than_ts:
+                    young.append(n)
+            # commits are linear, so the young set is a suffix of names:
+            # widening keep_last to cover it keeps every young snapshot
+            keep_last = max(keep_last, len(young))
         protected = {
             f"manifest-{v:06d}.json" for v in self.tags().values()
         }  # tagged snapshots are retention-protected

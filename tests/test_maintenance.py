@@ -300,6 +300,65 @@ def test_compact_minor_respects_min_deltas_and_cli(spark, tmp_path, monkeypatch,
     _assert_table_equal(sink.read_table(), _oracle(spark, cfg.changes_dir))
 
 
+# ------------------------------------------- age-based snapshot expiry
+def test_expire_age_floor_protects_young_snapshots(spark, tmp_path):
+    """older_than_ts composes with keep_last: snapshots committed at or
+    after the floor survive even beyond the count."""
+    _gen(tmp_path, seed=55, n_conversations=30, n_segments=4)
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets)
+    n = len(sink.history())
+    assert n >= 3
+    # floor before every commit → everything is young → nothing expires
+    assert sink.expire_snapshots(keep_last=1, older_than_ts=0.0) == []
+    assert len(sink.history()) == n
+    # floor after every commit → falls back to pure keep_last
+    import time as _time
+
+    deleted = sink.expire_snapshots(keep_last=1, older_than_ts=_time.time() + 10)
+    assert deleted
+    assert len(sink.history()) == 1
+    sink.read_table().count()  # head still reads
+
+
+def test_stats_reports_seq_gaps(spark, tmp_path, monkeypatch, capsys):
+    """A hole in the applied seq ranges (lost binlog events) surfaces in
+    stats; a gapless replay reports none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "changes"
+    d.mkdir()
+
+    def seg(name, seqs):
+        rows = {
+            "seq": pa.array(seqs, pa.int64()),
+            "op": pa.array(["I"] * len(seqs), pa.string()),
+            "conv_id": pa.array([f"c{s}" for s in seqs], pa.string()),
+            "turn_idx": pa.array([0] * len(seqs), pa.int32()),
+            "role": pa.array(["user"] * len(seqs), pa.string()),
+            "text": pa.array(["t"] * len(seqs), pa.string()),
+            "tool": pa.array([None] * len(seqs), pa.string()),
+            "ts": pa.array([1000 * (s + 1) for s in seqs], pa.timestamp("us")),
+            "source_file": pa.array([name] * len(seqs), pa.string()),
+            "offset": pa.array(list(range(len(seqs))), pa.int64()),
+        }
+        pq.write_table(pa.table(rows), str(d / f"{name}.parquet"))
+
+    seg("seg-00000", [0, 1, 2, 3])
+    seg("seg-00001", [8, 9])  # seqs 4..7 never arrive
+    cfg = _cfg(tmp_path, max_files_per_trigger=1)
+    run_replay(spark, cfg)
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["stats", "--target", cfg.target_dir]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["seq_coverage"] == {"min": 0, "max": 9, "gaps": [[4, 7]]}
+
+
 # ------------------------------------------------ rollback / AS OF ts
 def test_rollback_restores_state_and_ingest_continues(spark, tmp_path):
     """Rollback is a metadata-only commit of the old snapshot's state:
