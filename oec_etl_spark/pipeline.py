@@ -86,4 +86,9 @@ def load_pipeline(path: str) -> tuple[str, EngineConfig]:
     # changes_dir is a connector NAME when connectors_path is set
     if not kwargs.get("connectors_path"):
         kwargs["changes_dir"] = _abs(kwargs["changes_dir"])
+    if kwargs.get("mviews"):
+        kwargs["mviews"] = [
+            dict(m, path=_abs(m["path"])) if m.get("path") else m
+            for m in kwargs["mviews"]
+        ]
     return mode, EngineConfig(**kwargs)

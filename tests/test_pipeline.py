@@ -71,6 +71,8 @@ target: lake
 checkpoint: ckpt
 interval: 5 seconds
 dedup_watermark: 10 minutes
+mviews:
+  - {path: views/by_role, group_keys: [role]}
 """))
     assert mode == "tail"
     assert cfg.changes_dir == "changelog"  # connector NAME, not a path
@@ -78,6 +80,7 @@ dedup_watermark: 10 minutes
     assert cfg.source_params == {"table": "transcripts"}
     assert cfg.processing_interval == "5 seconds"
     assert cfg.target_dir == str(tmp_path / "lake")
+    assert cfg.mviews == [{"path": str(tmp_path / "views/by_role"), "group_keys": ["role"]}]
 
     with pytest.raises(ValueError, match="unknown pipeline key 'bukets'"):
         load_pipeline(_write(tmp_path, "changes: c\ntarget: t\ncheckpoint: k\nbukets: 8\n"))
