@@ -49,6 +49,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         checkpoint_dir=args.checkpoint,
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
+        files_per_bucket=args.files_per_bucket,
         quarantine_dir=args.quarantine,
         table_mode=args.table_mode,
         format=args.format,
@@ -551,6 +552,9 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("replay", "resume", "tail"):
             sp.add_argument("--checkpoint", required=True)
             sp.add_argument("--max-files-per-trigger", type=int, default=None)
+            sp.add_argument("--files-per-bucket", type=int, default=1,
+                            help="sub-bucket write fan-out: spread each "
+                            "bucket's rows over ~K tasks/files per write")
             sp.add_argument("--quarantine", default=None)
             sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
             sp.add_argument("--branch", default=None,

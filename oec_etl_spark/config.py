@@ -29,6 +29,15 @@ class EngineConfig:
     hot_key_threshold: float = 0.05
     hot_key_salt: int = 8
     merge_strategy: str = "hash"  # LWW reduce plan: "hash" (slim agg + winner join) | "sort" (max_by)
+    # Sub-bucket write fan-out (Iceberg target-file-size analog): with
+    # k > 1 every snapshot/delta/compaction write spreads each bucket's
+    # rows over ~k tasks (and so ~k files) via a second, independent
+    # conv_id hash. Lifts the one-write-task-per-bucket ceiling — at
+    # 10^10 rows a bucket's base is tens of GB, far too big for a
+    # single task to sort/write (or for compaction to rewrite) alone.
+    # A conversation still lands wholly in one file; readers glob the
+    # bucket dir and are unaffected, so this is a pure write-side knob.
+    files_per_bucket: int = 1
     # WRITE ORDERED BY analog: physically sort each written data file by
     # (conv_id, turn_idx). Better compression + sequential turn reads at
     # the cost of a per-task sort of the batch winners on every commit.

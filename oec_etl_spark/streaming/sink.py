@@ -90,6 +90,7 @@ class ParquetSnapshotSink:
         table_mode: str = "cow",
         write_sorted: bool = False,
         branch: str | None = None,
+        files_per_bucket: int = 1,
     ):
         self.spark = spark
         self.root = root
@@ -109,14 +110,36 @@ class ParquetSnapshotSink:
         # default — the logical "stable turn ordering" invariant is
         # enforced at read time either way.
         self.write_sorted = write_sorted
+        # Sub-bucket write fan-out: with k > 1, a bucket's rows spread
+        # over ~k shuffle tasks (and so ~k files) instead of exactly one.
+        # At 10^10 rows a bucket's base is tens of GB — a single write
+        # task (and a single compaction task) per bucket is the scale
+        # ceiling this lifts. The salt is a SECOND independent hash of
+        # conv_id (seeded xxhash64), never pmod(xxhash64(conv_id), k):
+        # that one is constant within a bucket whenever k divides
+        # n_buckets, which would silently disable the fan-out. A
+        # conversation still lands wholly in one file (salt is per
+        # conv_id), preserving write_sorted locality and point-read
+        # behavior; readers are unaffected — they glob the bucket dir.
+        self.files_per_bucket = max(1, int(files_per_bucket))
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     def _write_store(self, store: DataFrame, vdir: str) -> None:
         """Bucket-aligned write: repartition to the bucket layout first
         (otherwise every shuffle task opens a file in every touched
         bucket dir — N×buckets small files, measured anti-scaling),
+        optionally fanned out to ~files_per_bucket tasks per bucket,
         optionally sorting each task's rows by key (write_sorted)."""
-        out = store.repartition(self.n_buckets, F.col(META_BUCKET))
+        if self.files_per_bucket > 1:
+            salt = F.pmod(
+                F.xxhash64(F.col("conv_id"), F.lit("subfile")),
+                F.lit(self.files_per_bucket),
+            )
+            out = store.repartition(
+                self.n_buckets * self.files_per_bucket, F.col(META_BUCKET), salt
+            )
+        else:
+            out = store.repartition(self.n_buckets, F.col(META_BUCKET))
         if self.write_sorted:
             out = out.sortWithinPartitions(META_BUCKET, *KEY_COLUMNS)
         out.write.mode("overwrite").partitionBy(META_BUCKET).parquet(
