@@ -260,6 +260,22 @@ def cmd_schema_history(spark, args) -> int:
     return 0
 
 
+def cmd_lag(args) -> int:
+    """Backlog gauge for a tailing pipeline: change-log segment files /
+    bytes / events the checkpoint has not yet COMMITTED (a planned but
+    crashed batch still counts as pending — it reprocesses on resume).
+    Pure metadata: directory listing + checkpoint logs + parquet
+    footers; no Spark session starts."""
+    from oec_etl_spark.streaming.lag import source_lag
+
+    cfg = EngineConfig(
+        changes_dir=args.changes, target_dir="", checkpoint_dir=args.checkpoint,
+        format=args.format,
+    )
+    print(json.dumps(source_lag(cfg)))
+    return 0
+
+
 def cmd_stats(spark, args) -> int:
     """Aggregate the lineage log into one operational summary: totals,
     throughput, conflict/duplicate/quarantine counts, hot-key batches."""
@@ -518,7 +534,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
-                 "drop-column",
+                 "drop-column", "lag",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -534,15 +550,17 @@ def main(argv: list[str] | None = None) -> int:
                             metavar="NAME=SQL_PREDICATE")
         if name == "publish":
             sp.add_argument("--no-audit", action="store_true")
-        if name in ("replay", "resume", "tail", "verify"):
+        if name in ("replay", "resume", "tail", "verify", "lag"):
             sp.add_argument("--changes", required=True)
             sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
+        if name == "lag":
+            sp.add_argument("--checkpoint", required=True)
         if name == "run":
             sp.add_argument("--pipeline", required=True, metavar="YAML",
                             help="declarative pipeline spec (mode + EngineConfig)")
             sp.add_argument("--for-seconds", type=int, default=None,
                             help="tail mode: stop after N seconds")
-        else:
+        elif name != "lag":  # lag is source+checkpoint-scoped, no table
             sp.add_argument("--target", required=True)
         if name == "changelog":
             sp.add_argument("--from-version", type=int, required=True)
@@ -615,6 +633,9 @@ def main(argv: list[str] | None = None) -> int:
                             metavar="NAME=SQL_EXPR", help="additive measure over payload columns")
         sp.add_argument("--buckets", type=int, default=16)
     args = p.parse_args(argv)
+
+    if args.cmd == "lag":  # metadata-only: no Spark session needed
+        return cmd_lag(args)
 
     from oec_etl_spark.session import get_spark
 
