@@ -1786,5 +1786,103 @@ def events_sliding_rollup(spark, sf_dir):
     )
 
 
+@_register(
+    "events_role_transitions",
+    """
+    SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags="transcript role-transition matrix (who answers whom): window lag + count; "
+         "one shuffle keyed by the conversation, matrix is |roles|^2 rows",
+)
+def events_role_transitions(spark, sf_dir):
+    """Markov-style transition counts over each conversation's ordered
+    turns — the transcript-product analog of funnel analysis. Scale
+    shape: a single shuffle partitioned by user_id (the conversation
+    key) for the lag window, then a partial-agg count over a tiny
+    (from,to) domain."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy(F.col("from_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "events_turn_gap_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(avg(gap_us), 4) AS avg_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM (SELECT event_type,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+    WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags="inter-turn latency per role (exact integer micros, no float drift in the "
+         "window): window lag on event time + avg/max rollup",
+)
+def events_turn_gap_stats(spark, sf_dir):
+    """Response-latency profile: how long after the previous turn does
+    each role speak? Gaps are computed in exact integer microseconds
+    (unix_micros) so the only float op is the final avg — kept
+    bit-comparable to the oracle by round(.,4)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # ntz -> utc instant
+    return (
+        e.withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+@_register(
+    "events_transcript_render",
+    """
+    SELECT user_id,
+           count(*) AS n_turns,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS flow
+    FROM events
+    GROUP BY user_id
+    """,
+    tags="ordered transcript assembly as a REGISTERED oracle query (north-rule "
+         "stable-turn-ordering invariant): one hash agg, partition-local "
+         "collect_list + array_sort, no window/global sort",
+)
+def events_transcript_render(spark, sf_dir):
+    """The engine's conversation-assembly shape (operators/transcripts.py)
+    over the shared events table, oracle-checked: each conversation's
+    turns rendered in stable (ts, event_id) order with ONE hash
+    aggregate — collect_list is partition-local after the groupBy
+    shuffle and array_sort runs per group, so there is no global sort
+    and no per-key window. Mirrors the reference's per-pipeline ORDER
+    BY materialization (/root/reference/etl/trade_comtrade_monthly_pipeline.py)
+    without its single-node sort."""
+    e = load(spark, sf_dir, "events")
+    turn = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["event_type"]),
+            ">",
+        ).alias("flow"),
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]
