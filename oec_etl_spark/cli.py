@@ -276,6 +276,22 @@ def cmd_lag(args) -> int:
     return 0
 
 
+def cmd_archive(args) -> int:
+    """Binlog retention: move (--dest) or delete (--delete) change
+    segments whose batch committed, leaving pending / crashed-batch
+    files in place. The streaming source tracks seen paths in its own
+    log, so the same checkpoint resumes unaffected."""
+    from oec_etl_spark.streaming.lag import archive_committed
+
+    cfg = EngineConfig(
+        changes_dir=args.changes, target_dir="", checkpoint_dir=args.checkpoint,
+        format=args.format,
+    )
+    dest = None if args.delete else args.dest
+    print(json.dumps(archive_committed(cfg, dest, older_than_s=args.older_than_s)))
+    return 0
+
+
 def cmd_stats(spark, args) -> int:
     """Aggregate the lineage log into one operational summary: totals,
     throughput, conflict/duplicate/quarantine counts, hot-key batches."""
@@ -534,7 +550,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
-                 "drop-column", "lag",
+                 "drop-column", "lag", "archive",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -550,17 +566,25 @@ def main(argv: list[str] | None = None) -> int:
                             metavar="NAME=SQL_PREDICATE")
         if name == "publish":
             sp.add_argument("--no-audit", action="store_true")
-        if name in ("replay", "resume", "tail", "verify", "lag"):
+        if name in ("replay", "resume", "tail", "verify", "lag", "archive"):
             sp.add_argument("--changes", required=True)
             sp.add_argument("--format", default="parquet", choices=["parquet", "json"])
-        if name == "lag":
+        if name in ("lag", "archive"):
             sp.add_argument("--checkpoint", required=True)
+        if name == "archive":
+            g = sp.add_mutually_exclusive_group(required=True)
+            g.add_argument("--dest", default=None,
+                           help="move committed segments to this dir")
+            g.add_argument("--delete", action="store_true",
+                           help="delete committed segments instead of moving")
+            sp.add_argument("--older-than-s", type=float, default=0.0,
+                            help="additionally require segment mtime older than this")
         if name == "run":
             sp.add_argument("--pipeline", required=True, metavar="YAML",
                             help="declarative pipeline spec (mode + EngineConfig)")
             sp.add_argument("--for-seconds", type=int, default=None,
                             help="tail mode: stop after N seconds")
-        elif name != "lag":  # lag is source+checkpoint-scoped, no table
+        elif name not in ("lag", "archive"):  # source+checkpoint-scoped, no table
             sp.add_argument("--target", required=True)
         if name == "changelog":
             sp.add_argument("--from-version", type=int, required=True)
@@ -636,6 +660,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "lag":  # metadata-only: no Spark session needed
         return cmd_lag(args)
+    if args.cmd == "archive":  # file moves driven by metadata: no Spark
+        return cmd_archive(args)
 
     from oec_etl_spark.session import get_spark
 

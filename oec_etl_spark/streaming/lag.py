@@ -31,7 +31,7 @@ from urllib.parse import unquote, urlparse
 
 from oec_etl_spark.config import EngineConfig
 
-__all__ = ["source_lag"]
+__all__ = ["archive_committed", "source_lag"]
 
 
 def _local_path(uri: str) -> str:
@@ -116,4 +116,57 @@ def source_lag(cfg: EngineConfig) -> dict:
         "bytes_pending": pending_bytes,
         "pending_events": pending_events,
         "pending_files": [os.path.basename(f) for f in pending],
+    }
+
+
+def archive_committed(cfg: EngineConfig, dest_dir: str | None = None,
+                      older_than_s: float = 0.0) -> dict:
+    """Binlog retention: move (or with ``dest_dir=None`` delete) change
+    segments whose discovering batch COMMITTED out of the watched dir.
+
+    A tailed directory otherwise grows forever — the upstream producer
+    appends segments and nothing ever reclaims them (Kafka solves this
+    broker-side with retention.ms; a file binlog needs the consumer to
+    do it, because only the consumer's commit log knows what is safe).
+    Safety properties:
+
+    - only files present in the checkpoint's source log with
+      ``batchId <= last committed batch`` move — a pending file, or one
+      planned into a batch that crashed before committing, stays put
+      and will be (re)processed;
+    - the streaming source is unaffected by the move: Structured
+      Streaming's file source tracks *seen paths* in its own log and
+      never re-lists a processed file, so resuming the same checkpoint
+      after archiving continues exactly where it left off;
+    - ``older_than_s`` adds an mtime guard (default 0 = age-exempt) for
+      belt-and-braces overlap with producers that rewrite a segment in
+      place after publishing it (ours never do).
+
+    Returns counts + the archived file names. Idempotent: a second call
+    finds nothing left to move.
+    """
+    from oec_etl_spark.streaming.engine import _resolve_source
+
+    src_path, src_format = _resolve_source(cfg)
+    ext = ".parquet" if src_format == "parquet" else ".json"
+    done = _committed_files(cfg.checkpoint_dir)
+    now = __import__("time").time()
+    moved, kept = [], 0
+    for f in sorted(glob.glob(os.path.join(src_path, f"*{ext}"))):
+        if os.path.abspath(f) not in done or (
+            older_than_s and now - os.path.getmtime(f) < older_than_s
+        ):
+            kept += 1
+            continue
+        if dest_dir is None:
+            os.remove(f)
+        else:
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(f, os.path.join(dest_dir, os.path.basename(f)))
+        moved.append(os.path.basename(f))
+    return {
+        "archived": len(moved),
+        "kept": kept,
+        "dest": dest_dir,
+        "archived_files": moved,
     }

@@ -101,3 +101,79 @@ def test_lag_cli_runs_without_spark(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     lag = json.loads(out.stdout)
     assert lag["files_pending"] == 2 and lag["last_committed_batch"] == -1
+
+
+def test_archive_moves_only_committed_resume_unaffected(spark, tmp_path):
+    """Archive after a mid-replay crash: only the committed batch's
+    segments move; the crashed batch's (planned-but-uncommitted) files
+    stay; resuming the same checkpoint drains the remainder and the
+    final table equals the full-log oracle."""
+    from oec_etl_spark.operators.lww import materialize
+    from oec_etl_spark.schemas import CHANGE_SCHEMA
+    from oec_etl_spark.streaming.engine import quarantine_split
+    from oec_etl_spark.streaming.lag import archive_committed
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    generate_changelog(GeneratorConfig(
+        out_dir=str(tmp_path / "changes"), seed=86, n_conversations=60, n_segments=6))
+    cfg = _cfg(tmp_path, max_files_per_trigger=2)
+    with pytest.raises(Exception):
+        run_replay(spark, cfg, fail_after_batches=1)
+
+    dest = str(tmp_path / "archive")
+    res = archive_committed(cfg, dest)
+    assert res["archived"] == 2 and res["kept"] == 4
+    assert source_lag(cfg)["files_pending"] == 4
+
+    run_replay(spark, cfg)  # resume: moved files never re-list
+    assert source_lag(cfg)["files_pending"] == 0
+
+    # final state == oracle over the FULL log (archived + remaining)
+    full = spark.read.schema(CHANGE_SCHEMA).parquet(
+        f"{dest}/*.parquet", f"{cfg.changes_dir}/*.parquet")
+    oracle = materialize(quarantine_split(full)[0])
+    table = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets).read_table()
+    cols = sorted(table.columns)
+    assert sorted(oracle.columns) == cols
+    t, o = table.select(*cols), oracle.select(*cols)
+    assert t.exceptAll(o).count() == 0 and o.exceptAll(t).count() == 0
+
+    # drains the rest once committed; then idempotent
+    res2 = archive_committed(cfg, dest)
+    assert res2["archived"] == 4 and res2["kept"] == 0
+    assert archive_committed(cfg, dest)["archived"] == 0
+
+
+def test_archive_age_guard_and_delete(spark, tmp_path):
+    from oec_etl_spark.streaming.lag import archive_committed
+
+    generate_changelog(GeneratorConfig(
+        out_dir=str(tmp_path / "changes"), seed=87, n_conversations=20, n_segments=3))
+    cfg = _cfg(tmp_path)
+    run_replay(spark, cfg)
+    # fresh files + 1h age guard: nothing qualifies
+    assert archive_committed(cfg, str(tmp_path / "a"), older_than_s=3600)["archived"] == 0
+    # delete mode (dest=None) removes them
+    res = archive_committed(cfg, None)
+    assert res["archived"] == 3 and res["dest"] is None
+    assert list((tmp_path / "changes").glob("*.parquet")) == []
+
+
+def test_archive_cli_requires_explicit_destruction_choice(tmp_path):
+    import os
+
+    generate_changelog(GeneratorConfig(
+        out_dir=str(tmp_path / "changes"), seed=88, n_conversations=10, n_segments=2))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = [sys.executable, "-m", "oec_etl_spark.cli", "archive",
+            "--changes", str(tmp_path / "changes"),
+            "--checkpoint", str(tmp_path / "ckpt")]
+    out = subprocess.run(base, capture_output=True, text=True, cwd=repo)
+    assert out.returncode != 0 and "--dest" in out.stderr  # neither flag given
+    out = subprocess.run(base + ["--dest", str(tmp_path / "a")],
+                         capture_output=True, text=True, cwd=repo,
+                         env=os.environ | {"JAVA_HOME": "/nonexistent"})
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert json.loads(out.stdout) == {
+        "archived": 0, "kept": 2, "dest": str(tmp_path / "a"), "archived_files": [],
+    }
