@@ -507,12 +507,25 @@ def cmd_run(spark, args) -> int:
 
 
 def cmd_drop_column(spark, args) -> int:
-    """Metadata-only ALTER TABLE DROP COLUMN on the snapshot table."""
+    """ALTER TABLE DROP COLUMN on the snapshot table (head-state
+    rewrite — sound under name-based column mapping; see sink)."""
     from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
     sink = ParquetSnapshotSink(spark, args.target, args.buckets)
     v = sink.alter_drop_column(args.column)
     print(json.dumps({"dropped": args.column, "new_version": v}))
+    return 0
+
+
+def cmd_rename_column(spark, args) -> int:
+    """ALTER TABLE RENAME COLUMN (head-state rewrite; old snapshots
+    keep the old name, the change stream's payload names do not
+    follow)."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    v = sink.alter_rename_column(getattr(args, "from"), args.to)
+    print(json.dumps({"renamed": getattr(args, "from"), "to": args.to, "new_version": v}))
     return 0
 
 
@@ -550,7 +563,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
-                 "drop-column", "lag", "archive",
+                 "drop-column", "rename-column", "lag", "archive",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -645,7 +658,12 @@ def main(argv: list[str] | None = None) -> int:
                             help="Delta-CDF shape: updates as pre+post images")
         if name == "drop-column":
             sp.add_argument("--column", required=True,
-                            help="payload column to drop (metadata-only commit)")
+                            help="payload column to drop (head-state rewrite)")
+        if name == "rename-column":
+            sp.add_argument("--from", required=True, dest="from",
+                            help="payload column to rename")
+            sp.add_argument("--to", required=True,
+                            help="new column name")
         if name == "purge":
             sp.add_argument("--key", action="append", required=True,
                             metavar="CONV_ID", help="conversation to erase "
@@ -689,6 +707,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_run(spark, args)
         if args.cmd == "drop-column":
             return cmd_drop_column(spark, args)
+        if args.cmd == "rename-column":
+            return cmd_rename_column(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

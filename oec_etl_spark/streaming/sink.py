@@ -462,6 +462,59 @@ class ParquetSnapshotSink:
         self._commit(man)
         return new_version
 
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN (Iceberg ``ALTER TABLE … RENAME COLUMN``
+        analog). Like :meth:`alter_drop_column`, the rewrite is
+        deliberate, not metadata-only: columns map by NAME here (no
+        Iceberg field IDs), so a manifest-only rename would strand the
+        head files' values under the old physical name — and the first
+        change batch still carrying the old name would then resurrect
+        it as a shadow column. One bucket-parallel scan + write of the
+        head state (a ``compact()``-shaped job) keeps storage and
+        schema in lock-step. Old snapshots keep the old name (their
+        manifests and files are immutable — time travel shows history
+        as it was). NOTE: the change stream's payload names do NOT
+        follow the rename — a later batch carrying ``old`` re-adds it
+        via normal evolution as a fresh column with NULLs on existing
+        rows, exactly as any new column would; renaming is for
+        DOWNSTREAM consumers, not for remapping the source. Key and
+        LWW-order columns cannot be renamed (the merge's identity
+        depends on them). Returns the new head version."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self._sync_layout(man)
+        schema = T.StructType.fromJson(man["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(f"no column {old!r} in {self.root}")
+        if old in KEY_COLUMNS or old in ORDER_COLUMNS:
+            raise ValueError(f"column {old!r} is a key/order column — cannot rename")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new.startswith("__"):
+            raise ValueError(f"{new!r} collides with engine metadata namespace (__*)")
+        rows = self._read_current(man, schema).withColumnRenamed(old, new)
+        store = with_bucket(rows, self.n_buckets)
+        new_version = man["version"] + 1
+        self._precheck_version(new_version)  # before touching data/v{new_version}
+        vdir = f"data/v{new_version:06d}"
+        self._write_store(store, vdir)
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(self.root, vdir))
+            if d.startswith(f"{META_BUCKET}=")
+        )
+        man["version"] = new_version
+        man["schema"] = T.StructType(
+            [T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+             for f in schema.fields]
+        ).jsonValue()
+        man["buckets"] = {str(b): vdir for b in written}
+        man["deltas"] = {}
+        self._commit(man)
+        return new_version
+
     def compact_minor(
         self, buckets: list[int] | None = None, min_deltas: int = 2
     ) -> list[int]:

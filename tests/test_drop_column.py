@@ -88,3 +88,67 @@ def test_drop_column_guards_and_cli(spark, tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["dropped"] == "tool"
     assert "tool" not in sink.read_table().columns
+
+
+def test_rename_column_rewrites_head_keeps_history(spark, tmp_path):
+    cfg, sink = _seed(spark, tmp_path, table_mode="mor")
+    pre = sink.load_manifest()["version"]
+    want = sorted(map(tuple, sink.read_table().collect()))
+    v = sink.alter_rename_column("tool", "tool_name")
+    assert v == pre + 1
+    out = sink.read_table()
+    assert "tool" not in out.columns and "tool_name" in out.columns
+    # values identical, just relabeled (read_table projects manifest
+    # schema order, which the rename preserves in place)
+    assert sorted(map(tuple, out.collect())) == want
+    # head data files physically carry the new name only
+    head_man = sink.load_manifest()
+    assert not head_man["deltas"]  # rewrite folded the mor deltas too
+    for vdir in set(head_man["buckets"].values()):
+        for f in glob.glob(f"{sink.root}/{vdir}/__bucket=*/*.parquet"):
+            names = pq.ParquetFile(f).schema_arrow.names
+            assert "tool_name" in names and "tool" not in names
+    # time travel: the pre-rename snapshot still shows the old name
+    assert "tool" in sink.read_table(version=pre).columns
+
+
+def test_renamed_old_name_returns_via_evolution(spark, tmp_path):
+    """The change stream's payload names do not follow a rename: a
+    later batch carrying the OLD name re-adds it as a fresh column
+    (NULL on existing rows) while the renamed column keeps history."""
+    cfg, sink = _seed(spark, tmp_path)
+    sink.alter_rename_column("tool", "tool_name")
+    extra = spark.createDataFrame(
+        [(10 ** 6, "I", "c_back", 0, "assistant", "hi", "grep",
+          None, "s", 0)],
+        CHANGE_SCHEMA,
+    )
+    sink.merge(extra, batch_id=4242)
+    out = sink.read_table()
+    assert {"tool", "tool_name"} <= set(out.columns)
+    rows = {r["conv_id"]: (r["tool"], r["tool_name"]) for r in out.collect()}
+    assert rows["c_back"] == ("grep", None)
+    assert all(t is None for k, (t, _) in rows.items() if k != "c_back")
+
+
+def test_rename_column_guards_and_cli(spark, tmp_path, monkeypatch, capsys):
+    cfg, sink = _seed(spark, tmp_path)
+    with pytest.raises(KeyError, match="no column"):
+        sink.alter_rename_column("nope", "x")
+    for protected in ("conv_id", "turn_idx", "ts"):
+        with pytest.raises(ValueError, match="key/order"):
+            sink.alter_rename_column(protected, "x")
+    with pytest.raises(ValueError, match="already exists"):
+        sink.alter_rename_column("tool", "text")
+    with pytest.raises(ValueError, match="metadata namespace"):
+        sink.alter_rename_column("tool", "__tool")
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["rename-column", "--target", cfg.target_dir, "--buckets", "8",
+                     "--from", "tool", "--to", "tool_name"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"renamed": "tool", "to": "tool_name",
+                   "new_version": sink.load_manifest()["version"]}
+    assert "tool_name" in sink.read_table().columns
