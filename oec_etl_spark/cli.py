@@ -58,6 +58,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         minor_compact_after=args.minor_compact_after,
         metrics_path=args.metrics,
         constraints=_name_sql_pairs(args, "constraint"),
+        derives=_name_sql_pairs(args, "derive"),
     )
 
 
@@ -625,6 +626,11 @@ def main(argv: list[str] | None = None) -> int:
                             metavar="NAME=SQL_PREDICATE",
                             help="merge-time CHECK constraint; violating rows "
                                  "go to --quarantine tagged with NAME (deletes exempt)")
+            sp.add_argument("--derive", action="append", default=None,
+                            metavar="NAME=SQL_EXPR",
+                            help="pre-merge transform: recode an existing payload "
+                                 "column or add a new one (applied in order, "
+                                 "after constraints, before the merge)")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")

@@ -93,6 +93,19 @@ class EngineConfig:
     # carry NULL payload by design). Evaluated as one codegen'd CASE
     # inside the existing quarantine pass — zero extra scans.
     constraints: dict[str, str] | None = None
+    # Pre-merge declarative transforms (the reference's per-column
+    # pandas steps as an in-loop stage): column name → SQL expression
+    # over the change columns, applied to VALID rows after the
+    # quarantine/constraint pass and before the merge. A name may
+    # overwrite an existing payload column (recode) or add a new one
+    # (schema evolution picks it up); later entries may reference
+    # earlier ones (applied in dict order). Keys, LWW-order columns and
+    # the envelope (conv_id, turn_idx, ts, op, seq, source_file,
+    # offset) are protected — deriving them would change merge
+    # identity/ordering. Tombstones flow through unchanged in effect:
+    # their payload is never read. All exprs are codegen'd Columns —
+    # zero per-row Python.
+    derives: dict[str, str] | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     # Trigger-level metrics feed (StreamingQueryProgress subset as

@@ -89,6 +89,32 @@ def quarantine_split(
     )
 
 
+_PROTECTED_DERIVE = ("conv_id", "turn_idx", "ts", "op", "seq", "source_file", "offset")
+
+
+def apply_derives(df: DataFrame, derives: dict[str, str] | None) -> DataFrame:
+    """Pre-merge declarative transforms: each entry ``name: SQL`` is a
+    codegen'd Column over the change columns — overwrite a payload
+    column to recode it, or add a new one (merge-side schema evolution
+    picks it up). Entries apply in dict order, so later exprs may
+    reference earlier derived columns — the reference's chained
+    per-column steps (/root/reference/etl/trade_comtrade_monthly_pipeline.py
+    transform section) as one narrow projection. Keys, LWW order and
+    the envelope are protected: deriving them would silently change
+    merge identity or ordering."""
+    if not derives:
+        return df
+    for name in derives:
+        if name in _PROTECTED_DERIVE or name.startswith("__"):
+            raise ValueError(
+                f"cannot derive {name!r}: key/order/envelope columns and the "
+                "__* metadata namespace are protected"
+            )
+    for name, sql in derives.items():
+        df = df.withColumn(name, F.expr(sql))
+    return df
+
+
 def _build_query(
     spark: SparkSession,
     cfg: EngineConfig,
@@ -120,6 +146,7 @@ def _build_query(
         if fail_after_batches is not None and len(lineages) >= fail_after_batches:
             raise RuntimeError("injected failure (test hook)")
         valid, bad = quarantine_split(bdf, cfg.constraints)
+        valid = apply_derives(valid, cfg.derives)
         n_bad = 0
         if cfg.quarantine_dir is not None:
             bad = bad.cache()
@@ -314,7 +341,8 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)
-    valid, bad = quarantine_split(df)
+    valid, bad = quarantine_split(df, cfg.constraints)
+    valid = apply_derives(valid, cfg.derives)
     n_bad = 0
     if cfg.quarantine_dir is not None:
         n_bad = bad.count()
