@@ -106,6 +106,20 @@ class EngineConfig:
     # their payload is never read. All exprs are codegen'd Columns —
     # zero per-row Python.
     derives: dict[str, str] | None = None
+    # In-loop stream-static enrichment (the reference's load-time dim
+    # joins as a streaming stage): a small dimension table broadcast-
+    # joined (left) onto valid change rows AFTER derives (so a derived
+    # column can be the join key) and before the merge:
+    #   {"path": parquet dir, "key": change column,
+    #    "dim_key": dim column (default = key),
+    #    "select": {out_col: dim_col, ...}}
+    # The dim must be unique on dim_key — a fanning join would
+    # duplicate change rows and break merge row-uniqueness, so the
+    # engine verifies uniqueness once at stream build (one tiny agg
+    # over the broadcast-sized dim) and refuses otherwise. Added
+    # columns flow into the table via normal schema evolution;
+    # unmatched rows get NULLs. Zero shuffle: the dim broadcasts.
+    enrich: dict | None = None
     quarantine_dir: str | None = None  # malformed-record side output
     lineage_path: str | None = None  # JSONL lineage log (defaults inside target)
     # Trigger-level metrics feed (StreamingQueryProgress subset as

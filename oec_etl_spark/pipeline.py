@@ -91,4 +91,6 @@ def load_pipeline(path: str) -> tuple[str, EngineConfig]:
             dict(m, path=_abs(m["path"])) if m.get("path") else m
             for m in kwargs["mviews"]
         ]
+    if kwargs.get("enrich") and kwargs["enrich"].get("path"):
+        kwargs["enrich"] = dict(kwargs["enrich"], path=_abs(kwargs["enrich"]["path"]))
     return mode, EngineConfig(**kwargs)

@@ -115,6 +115,48 @@ def apply_derives(df: DataFrame, derives: dict[str, str] | None) -> DataFrame:
     return df
 
 
+def build_enricher(spark: SparkSession, enrich: dict | None):
+    """Compile ``EngineConfig.enrich`` into a DataFrame→DataFrame stage
+    (or identity). The dim loads ONCE per stream build, its key
+    uniqueness is verified up front (a fanning enrichment would
+    duplicate change rows and corrupt the merge's row-uniqueness
+    contract), and every application is a broadcast LEFT join — the
+    stream-static join pattern, no shuffle of the change rows."""
+    if not enrich:
+        return lambda df: df
+    sel = dict(enrich.get("select") or {})
+    if not sel:
+        raise ValueError("enrich.select must map at least one output column")
+    for name in sel:
+        if name in _PROTECTED_DERIVE or name.startswith("__"):
+            raise ValueError(
+                f"cannot enrich into {name!r}: key/order/envelope columns and "
+                "the __* metadata namespace are protected"
+            )
+    key = enrich["key"]
+    dim_key = enrich.get("dim_key", key)
+    dim = spark.read.parquet(enrich["path"])
+    dup = (
+        dim.groupBy(dim_key).count().filter(F.col("count") > 1).select(dim_key).first()
+    )
+    if dup is not None:
+        raise ValueError(
+            f"enrich dim {enrich['path']!r} is not unique on {dim_key!r} "
+            f"(e.g. {dup[0]!r}) — a fanning join would duplicate change rows"
+        )
+    proj = dim.select(
+        F.col(dim_key).alias("__enrich_key"),
+        *[F.col(src).alias(dst) for dst, src in sel.items()],
+    )
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(proj), df[key] == F.col("__enrich_key"), "left"
+        ).drop("__enrich_key")
+
+    return stage
+
+
 def _build_query(
     spark: SparkSession,
     cfg: EngineConfig,
@@ -141,12 +183,13 @@ def _build_query(
     else:
         sink = mk_sink(cfg.target_dir, branch=cfg.branch)
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
+    enricher = build_enricher(spark, cfg.enrich)  # dim loads + verifies once
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if fail_after_batches is not None and len(lineages) >= fail_after_batches:
             raise RuntimeError("injected failure (test hook)")
         valid, bad = quarantine_split(bdf, cfg.constraints)
-        valid = apply_derives(valid, cfg.derives)
+        valid = enricher(apply_derives(valid, cfg.derives))
         n_bad = 0
         if cfg.quarantine_dir is not None:
             bad = bad.cache()
@@ -342,7 +385,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)
     valid, bad = quarantine_split(df, cfg.constraints)
-    valid = apply_derives(valid, cfg.derives)
+    valid = build_enricher(spark, cfg.enrich)(apply_derives(valid, cfg.derives))
     n_bad = 0
     if cfg.quarantine_dir is not None:
         n_bad = bad.count()
