@@ -293,6 +293,34 @@ def cmd_archive(args) -> int:
     return 0
 
 
+def cmd_export(spark, args) -> int:
+    """Materialize a committed snapshot (head, --version N, or --as-of
+    ISO_TS) as a plain parquet dataset for downstream consumers that
+    speak only vanilla parquet — the escape hatch out of the engine's
+    manifest format. Reads are snapshot-isolated (immutable files), so
+    the export is consistent even under live ingest; MOR deltas are
+    merged on the way out."""
+    import datetime
+
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    version = args.version
+    if args.as_of:
+        version = sink.version_as_of(
+            datetime.datetime.fromisoformat(args.as_of).timestamp()
+        )
+    df = sink.read_table(version=version)
+    df.write.mode("error").parquet(args.dest)
+    n = spark.read.parquet(args.dest).count()
+    print(json.dumps({
+        "dest": args.dest, "rows": n,
+        "version": version if version is not None
+        else sink.load_manifest()["version"],
+    }))
+    return 0
+
+
 def cmd_stats(spark, args) -> int:
     """Aggregate the lineage log into one operational summary: totals,
     throughput, conflict/duplicate/quarantine counts, hot-key batches."""
@@ -564,7 +592,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
-                 "drop-column", "rename-column", "lag", "archive",
+                 "drop-column", "rename-column", "lag", "archive", "export",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -670,6 +698,13 @@ def main(argv: list[str] | None = None) -> int:
                             help="payload column to rename")
             sp.add_argument("--to", required=True,
                             help="new column name")
+        if name == "export":
+            sp.add_argument("--dest", required=True,
+                            help="output dir for the plain parquet dataset")
+            g = sp.add_mutually_exclusive_group()
+            g.add_argument("--version", type=int, default=None)
+            g.add_argument("--as-of", default=None, metavar="ISO_TS",
+                           help="export the snapshot current at this time")
         if name == "purge":
             sp.add_argument("--key", action="append", required=True,
                             metavar="CONV_ID", help="conversation to erase "
@@ -715,6 +750,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_drop_column(spark, args)
         if args.cmd == "rename-column":
             return cmd_rename_column(spark, args)
+        if args.cmd == "export":
+            return cmd_export(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

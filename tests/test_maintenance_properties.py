@@ -56,10 +56,11 @@ def _rows(events, seq0):
 
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
-@given(ops=_ops)
-def test_maintenance_interleavings_preserve_table(spark, ops):
+@given(ops=_ops, fanout=st.sampled_from([1, 2, 3]))
+def test_maintenance_interleavings_preserve_table(spark, ops, fanout):
     root = tempfile.mkdtemp(prefix="mnt-prop-")
-    sink = ParquetSnapshotSink(spark, root, 4, table_mode="mor")
+    sink = ParquetSnapshotSink(spark, root, 4, table_mode="mor",
+                               files_per_bucket=fanout)
     merged: list[tuple] = []
     seq = 0
 
