@@ -59,6 +59,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         metrics_path=args.metrics,
         constraints=_name_sql_pairs(args, "constraint"),
         derives=_name_sql_pairs(args, "derive"),
+        profile=args.profile,
     )
 
 
@@ -364,6 +365,13 @@ def cmd_stats(spark, args) -> int:
         "max": hi,
         "gaps": gaps,
     } if spans else None
+    # opt-in quality profile rollup: total NULLs per payload column
+    # across every profiled batch (absent unless --profile was on)
+    nulls: dict[str, int] = {}
+    for r in recs:
+        for col, n in (r.get("column_nulls") or {}).items():
+            nulls[col] = nulls.get(col, 0) + n
+    out["column_nulls"] = nulls or None
     print(json.dumps(out))
     return 0
 
@@ -659,6 +667,9 @@ def main(argv: list[str] | None = None) -> int:
                             help="pre-merge transform: recode an existing payload "
                                  "column or add a new one (applied in order, "
                                  "after constraints, before the merge)")
+            sp.add_argument("--profile", action="store_true",
+                            help="record per-batch payload NULL counts in "
+                                 "lineage (one extra aggregate per batch)")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")

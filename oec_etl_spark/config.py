@@ -126,6 +126,12 @@ class EngineConfig:
     # JSONL): rows/sec, per-trigger latency breakdown, source offset
     # ranges — the Spark-side view the lineage log can't see. Opt-in.
     metrics_path: str | None = None
+    # Opt-in per-batch data-quality profile: per payload column, NULL
+    # count among the batch's upsert rows (tombstones excluded),
+    # recorded in each batch's lineage (`column_nulls`) and summed by
+    # the `stats` CLI. Costs one extra O(batch) aggregate per merge —
+    # explicit, off by default.
+    profile: bool = False
     # Materialized views kept current INSIDE the streaming loop: each
     # entry {"path": dir, "group_keys": [...], "sum_exprs": {name: SQL}}
     # is refreshed right after every batch commit (O(changed keys) per

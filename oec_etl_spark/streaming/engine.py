@@ -172,7 +172,7 @@ def _build_query(
             hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
             merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
             write_sorted=cfg.write_sorted, branch=branch,
-            files_per_bucket=cfg.files_per_bucket,
+            files_per_bucket=cfg.files_per_bucket, profile=cfg.profile,
         )
 
     if cfg.routes:
@@ -380,7 +380,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         hot_key_threshold=cfg.hot_key_threshold, hot_key_salt=cfg.hot_key_salt,
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
         write_sorted=cfg.write_sorted, branch=cfg.branch,
-        files_per_bucket=cfg.files_per_bucket,
+        files_per_bucket=cfg.files_per_bucket, profile=cfg.profile,
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)

@@ -44,6 +44,11 @@ class BatchLineage:
     compacted_buckets: list[int] = field(default_factory=list)
     skipped_as_committed: bool = False
     route: str | None = None  # fan-out target name (cfg.routes), None = single target
+    # opt-in batch quality profile (sink profile=True): per payload
+    # column, NULL count among this batch's UPSERT rows (tombstones
+    # excluded — their payload is NULL by design). A null-rate spike is
+    # the classic upstream-extractor-broke signal.
+    column_nulls: dict[str, int] | None = None
     wall_sec: float = 0.0
     committed_at: float = field(default_factory=time.time)
 

@@ -91,6 +91,7 @@ class ParquetSnapshotSink:
         write_sorted: bool = False,
         branch: str | None = None,
         files_per_bucket: int = 1,
+        profile: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -122,6 +123,12 @@ class ParquetSnapshotSink:
         # conv_id), preserving write_sorted locality and point-read
         # behavior; readers are unaffected — they glob the bucket dir.
         self.files_per_bucket = max(1, int(files_per_bucket))
+        # Opt-in per-batch data-quality profile: one EXTRA aggregate
+        # pass over the batch payload per merge (job A is deliberately
+        # payload-free, and an Observation can't sit on the batch — the
+        # hash-path reduce consumes it twice). Off by default; the cost
+        # is explicit and O(batch).
+        self.profile = profile
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     def _write_store(self, store: DataFrame, vdir: str) -> None:
@@ -1113,6 +1120,15 @@ class ParquetSnapshotSink:
         rec.seq_max = int(max(r["wm"] for r in per_bucket)) if per_bucket else None
         affected = sorted(int(r[META_BUCKET]) for r in per_bucket)
         rec.affected_buckets = affected
+
+        if self.profile and affected:
+            prof_cols = [c_ for c_ in payload_cols if c_ not in KEY_COLUMNS]
+            prof = (
+                cb.filter(F.col("op") != "D")  # tombstone payload is NULL by design
+                .agg(*[F.sum(F.col(c_).isNull().cast("long")).alias(c_) for c_ in prof_cols])
+                .first()
+            )
+            rec.column_nulls = {k: int(v or 0) for k, v in prof.asDict().items()}
 
         salt, hot_ids = None, None
         if self.hot_key_threshold is not None and rec.rows_in_batch:
