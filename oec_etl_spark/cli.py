@@ -25,6 +25,17 @@ idempotent command surface::
         publish   --target DIR --name B          # audit + fast-forward main
         drop-branch --target DIR --name B        # abandon staged commits
         branches  --target DIR                   # list branch refs
+        lag       --changes DIR --checkpoint DIR # backlog gauge (no JVM)
+        archive   --changes DIR --checkpoint DIR --dest DIR|--delete
+                                                 # binlog retention (no JVM)
+        export    --target DIR --dest DIR [--version V | --as-of ISO_TS]
+        rename-column --target DIR --from C --to C2
+        stats     --target DIR                   # ops rollup (+--profile nulls)
+
+    replay/resume/tail also take: --files-per-bucket K (write fan-out),
+    --derive NAME=SQL (pre-merge transforms), --constraint NAME=PRED,
+    --profile (per-batch null counts), --table-mode cow|mor, --branch B;
+    stream-static enrichment (`enrich:`) is a pipeline-spec/API knob.
 
 `replay` and `resume` are deliberately the same code path — restarting
 the streaming query against the same checkpointLocation continues from
