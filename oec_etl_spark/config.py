@@ -126,6 +126,19 @@ class EngineConfig:
     # JSONL): rows/sec, per-trigger latency breakdown, source offset
     # ranges — the Spark-side view the lineage log can't see. Opt-in.
     metrics_path: str | None = None
+    # In-loop binlog retention (streaming-loop policy, like the
+    # compaction/expiry policies): after each batch commit, move change
+    # segments whose discovering batch COMMITTED into this directory
+    # (see streaming/lag.py archive_committed). Inherently safe inside
+    # the loop: when batch N's foreachBatch runs, the commit log only
+    # reaches N-1, so the in-flight batch's files can never move; the
+    # file source tracks seen paths and never re-lists archived ones.
+    # With routed fan-out the commit covers ALL routes, so a mid-batch
+    # crash (route A committed, B not) still leaves the files in place
+    # for the resume. None = no retention (or use the `archive` CLI).
+    archive_dir: str | None = None
+    # extra mtime guard for archive_dir (seconds; 0 = age-exempt)
+    archive_older_than_s: float = 0.0
     # Opt-in per-batch data-quality profile: per payload column, NULL
     # count among the batch's upsert rows (tombstones excluded),
     # recorded in each batch's lineage (`column_nulls`) and summed by

@@ -225,6 +225,17 @@ def _build_query(
                 s.expire_snapshots(keep_last=cfg.expire_keep_last)
             return compacted
 
+        def housekeep_source() -> None:
+            # in-loop binlog retention: only segments of ALREADY
+            # COMMITTED batches qualify (during batch N the commit log
+            # reaches N-1), so this can never move in-flight files
+            if cfg.archive_dir:
+                from oec_etl_spark.streaming.lag import archive_committed
+
+                archive_committed(
+                    cfg, cfg.archive_dir, older_than_s=cfg.archive_older_than_s
+                )
+
         if cfg.routes:
             valid = valid.cache()  # each route re-filters the same batch
             preds = {n: F.expr(p) for n, p in cfg.routes.items() if p != "*"}
@@ -241,6 +252,7 @@ def _build_query(
                     append_jsonl(lineage_path, rec.to_dict())
             finally:
                 valid.unpersist()
+            housekeep_source()
             return
         rec = sink.merge(valid, batch_id, quarantined=n_bad)
         rec.compacted_buckets = housekeep(sink)
@@ -258,6 +270,7 @@ def _build_query(
                 ).refresh(sink)
         lineages.append(rec)
         append_jsonl(lineage_path, rec.to_dict())
+        housekeep_source()
 
     src_path, src_format = _resolve_source(cfg)
     reader = spark.readStream.schema(CHANGE_SCHEMA).format(src_format)

@@ -177,3 +177,40 @@ def test_archive_cli_requires_explicit_destruction_choice(tmp_path):
     assert json.loads(out.stdout) == {
         "archived": 0, "kept": 2, "dest": str(tmp_path / "a"), "archived_files": [],
     }
+
+
+def test_inloop_archive_policy_drains_committed_segments(spark, tmp_path):
+    """`EngineConfig.archive_dir`: binlog retention as a streaming-loop
+    policy. During batch N the commit log reaches N-1, so by end of an
+    S-batch replay the first S-1 batches' segments have moved and the
+    final batch's remain (the standalone `archive` CLI drains the
+    tail). The table still equals the oracle over archive ∪ watched."""
+    from oec_etl_spark.operators.lww import materialize
+    from oec_etl_spark.schemas import CHANGE_SCHEMA
+    from oec_etl_spark.streaming.engine import quarantine_split
+    from oec_etl_spark.streaming.lag import archive_committed
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    generate_changelog(GeneratorConfig(
+        out_dir=str(tmp_path / "changes"), seed=89, n_conversations=50, n_segments=5))
+    dest = str(tmp_path / "archive")
+    cfg = _cfg(tmp_path, max_files_per_trigger=1, archive_dir=dest)
+    recs = run_replay(spark, cfg)
+    assert len(recs) == 5
+    import os
+
+    left = sorted(os.listdir(tmp_path / "changes"))
+    gone = sorted(os.listdir(dest))
+    assert len(gone) == 4 and len([f for f in left if f.endswith(".parquet")]) == 1
+    assert source_lag(cfg)["files_pending"] == 0  # moved files were committed
+
+    full = spark.read.schema(CHANGE_SCHEMA).parquet(
+        f"{dest}/*.parquet", f"{cfg.changes_dir}/*.parquet")
+    oracle = materialize(quarantine_split(full)[0])
+    table = ParquetSnapshotSink(spark, cfg.target_dir, cfg.n_buckets).read_table()
+    cols = sorted(table.columns)
+    t, o = table.select(*cols), oracle.select(*cols)
+    assert t.exceptAll(o).count() == 0 and o.exceptAll(t).count() == 0
+
+    # the standalone archiver drains the final batch's segment
+    assert archive_committed(cfg, dest)["archived"] == 1
