@@ -17,6 +17,17 @@ a mode. This module makes that a reviewable artifact:
     minor_compact_after: 4
     constraints:
       text_present: "length(text) > 0"
+    derives:                # pre-merge transforms, applied in order
+      text: "trim(text)"
+      n_chars: "length(text)"
+    enrich:                 # stream-static broadcast dim join
+      path: dims/roles
+      key: role
+      dim_key: role_key
+      select: {actor_kind: actor_kind}
+    archive_dir: done/      # in-loop binlog retention
+    files_per_bucket: 4     # sub-bucket write fan-out
+    profile: true           # per-batch payload null counts in lineage
 
 Keys map 1:1 onto EngineConfig fields (a few CLI-style short names are
 accepted, see _RENAME); unknown keys fail loudly — a typo'd knob must
@@ -49,7 +60,7 @@ _RENAME = {
 _MODES = ("replay", "tail")
 _PATH_FIELDS = (
     "target_dir", "checkpoint_dir", "connectors_path", "quarantine_dir",
-    "metrics_path", "lineage_path",
+    "metrics_path", "lineage_path", "archive_dir",
 )
 
 
