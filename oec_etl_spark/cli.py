@@ -30,6 +30,8 @@ idempotent command surface::
                                                  # binlog retention (no JVM)
         export    --target DIR --dest DIR [--version V | --as-of ISO_TS]
         rename-column --target DIR --from C --to C2
+        delete    --target DIR --where SQL       # predicate DML via the merge
+        update    --target DIR --where SQL --set COL=EXPR ...
         stats     --target DIR                   # ops rollup (+--profile nulls)
 
     replay/resume/tail also take: --files-per-bucket K (write fan-out),
@@ -565,6 +567,34 @@ def cmd_drop_column(spark, args) -> int:
     return 0
 
 
+def cmd_delete(spark, args) -> int:
+    """DELETE FROM table WHERE … — predicate DML routed through the
+    merge (tombstones at the matched rows' own ts, seq+1), so lineage,
+    watermarks and exactly-once all apply. Current-state DML; for
+    historical erasure use `purge`."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets,
+                               table_mode=args.table_mode)
+    rec = sink.delete_where(args.where)
+    print(json.dumps({"deleted": rec.rows_applied, "batch_id": rec.batch_id,
+                      "version": sink.load_manifest()["version"]}))
+    return 0
+
+
+def cmd_update(spark, args) -> int:
+    """UPDATE table SET col=expr … WHERE … through the merge (see
+    delete): matched rows re-emitted with the SET exprs applied."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets,
+                               table_mode=args.table_mode)
+    rec = sink.update_where(args.where, _name_sql_pairs(args, "set") or {})
+    print(json.dumps({"updated": rec.rows_applied, "batch_id": rec.batch_id,
+                      "version": sink.load_manifest()["version"]}))
+    return 0
+
+
 def cmd_rename_column(spark, args) -> int:
     """ALTER TABLE RENAME COLUMN (head-state rewrite; old snapshots
     keep the old name, the change stream's payload names do not
@@ -612,6 +642,7 @@ def main(argv: list[str] | None = None) -> int:
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
+                 "delete", "update",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -720,6 +751,14 @@ def main(argv: list[str] | None = None) -> int:
                             help="payload column to rename")
             sp.add_argument("--to", required=True,
                             help="new column name")
+        if name in ("delete", "update"):
+            sp.add_argument("--where", required=True,
+                            help="SQL predicate over the table's columns")
+            sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
+        if name == "update":
+            sp.add_argument("--set", action="append", required=True,
+                            metavar="NAME=SQL_EXPR",
+                            help="column assignment (repeatable; keys/ts protected)")
         if name == "export":
             sp.add_argument("--dest", required=True,
                             help="output dir for the plain parquet dataset")
@@ -774,6 +813,10 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_rename_column(spark, args)
         if args.cmd == "export":
             return cmd_export(spark, args)
+        if args.cmd == "delete":
+            return cmd_delete(spark, args)
+        if args.cmd == "update":
+            return cmd_update(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

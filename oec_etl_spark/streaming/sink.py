@@ -469,6 +469,89 @@ class ParquetSnapshotSink:
         self._commit(man)
         return new_version
 
+    def _dml_changes(self, predicate: str) -> tuple[DataFrame, "T.StructType"]:
+        """Current LIVE rows matching ``predicate`` in change-row shape
+        (payload + op/seq/source_file/offset), with ``seq`` bumped by 1
+        at the row's own ``ts``: under the LWW order (ts, seq, …) the
+        constructed event beats exactly the row it was derived from —
+        and anything older — while any later real event still wins.
+        That is the point-in-time semantics predicate DML needs: no
+        timestamp forgery, no resurrection by late stragglers."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self._sync_layout(man)
+        schema = T.StructType.fromJson(man["schema"])
+        cur = self._read_current(man, schema).filter(~F.col(META_DELETED))
+        matched = cur.filter(F.expr(predicate))
+        return matched, schema
+
+    def _dml_batch_id(self) -> int:
+        """Epoch id for an interactive DML commit. The streaming query
+        owns the non-negative ids (its checkpoint replays them, and the
+        epoch guard must keep recognizing them); DML descends through
+        the negatives, next-free derived from the manifest — so a DML
+        can never shadow a future streaming batch, and re-running the
+        same DML statement gets a fresh epoch (it is not a redelivery)."""
+        man = self.load_manifest() or {"committed_batches": []}
+        return min([0, *man["committed_batches"]]) - 1
+
+    def delete_where(self, predicate: str, batch_id: int | None = None) -> BatchLineage:
+        """DELETE FROM table WHERE … (Iceberg/Delta predicate-delete
+        analog), expressed THROUGH the merge: matched live rows become
+        tombstone change events (NULL payload, op='D', same ts,
+        seq+1), so every merge invariant — lineage, watermarks, epoch
+        guard idempotence, bucket alignment, fan-out, mor deltas —
+        applies unchanged. One table scan + one ordinary merge; a
+        re-run matches nothing (the rows are gone) and commits an
+        empty batch. GDPR-style *historical* erasure is purge_keys;
+        this is current-state DML."""
+        matched, schema = self._dml_changes(predicate)
+        changes = matched.select(
+            *KEY_COLUMNS,
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in schema.fields if f.name not in (*KEY_COLUMNS, "ts")],
+            F.col("ts"),
+            F.lit("D").alias("op"),
+            (F.col(META_SEQ) + 1).alias("seq"),
+            F.lit("dml:delete_where").alias("source_file"),
+            F.monotonically_increasing_id().alias("offset"),
+        )
+        return self.merge(changes, batch_id=self._dml_batch_id() if batch_id is None else batch_id)
+
+    def update_where(self, predicate: str, set_exprs: dict[str, str],
+                     batch_id: int | None = None) -> BatchLineage:
+        """UPDATE table SET col=expr, … WHERE … through the merge (see
+        delete_where): matched live rows re-emitted as op='U' events
+        carrying their current payload with ``set_exprs`` applied
+        (exprs may reference any payload column), same ts, seq+1. Keys
+        and ts cannot be SET — rekeying is a delete+insert and forging
+        event time would corrupt the LWW order."""
+        for name in set_exprs:
+            if name in KEY_COLUMNS or name == "ts" or name.startswith("__"):
+                raise ValueError(
+                    f"cannot SET {name!r}: keys, ts and __* metadata are protected"
+                )
+        matched, schema = self._dml_changes(predicate)
+        missing = [n for n in set_exprs if n not in {f.name for f in schema.fields}]
+        if missing:
+            raise KeyError(f"SET targets not in table schema: {missing}")
+        payload = [
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs else F.col(f.name)
+            for f in schema.fields if f.name not in (*KEY_COLUMNS, "ts")
+        ]
+        changes = matched.select(
+            *KEY_COLUMNS,
+            *payload,
+            F.col("ts"),
+            F.lit("U").alias("op"),
+            (F.col(META_SEQ) + 1).alias("seq"),
+            F.lit("dml:update_where").alias("source_file"),
+            F.monotonically_increasing_id().alias("offset"),
+        )
+        return self.merge(changes, batch_id=self._dml_batch_id() if batch_id is None else batch_id)
+
     def alter_rename_column(self, old: str, new: str) -> int:
         """RENAME COLUMN (Iceberg ``ALTER TABLE … RENAME COLUMN``
         analog). Like :meth:`alter_drop_column`, the rewrite is
