@@ -39,3 +39,32 @@ def cosine_sql(a: str, b: str) -> str:
     """DuckDB oracle equivalent (list_cosine_similarity computes the
     same double-precision sequential reduction)."""
     return f"list_cosine_similarity({a}, {b})"
+
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector int8 scalar-quantization scale: max(|x|)/127, the
+    symmetric-range scheme embedding stores use (4 bytes/dim → 1).
+    Map-only built-ins; no shuffle, no Python."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Quantized codes round(x/scale) as array<int>. Rounding is
+    floor(x/scale + 0.5) — half-up toward +inf — because Spark round()
+    and DuckDB round() disagree on negative halves; floor() is
+    unambiguous in both engines, which keeps the oracle exact."""
+    return F.transform(a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"))
+
+
+def dequantize_max_err(a: Column, scale: Column) -> Column:
+    """Largest per-dimension reconstruction error |x - q*scale| of the
+    int8 roundtrip — the quality gauge for quantized ANN. Elementwise
+    on (x, scale) only, so it fuses into the same map stage."""
+    return F.array_max(
+        F.transform(
+            a,
+            lambda x: F.abs(
+                x.cast("double") - F.floor(x.cast("double") / scale + F.lit(0.5)) * scale
+            ),
+        )
+    )

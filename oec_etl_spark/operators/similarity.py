@@ -159,6 +159,55 @@ def rp_lsh_banded_pairs(
     )
 
 
+def knn_join(
+    df: DataFrame, planes: list[list[float]], n_bands: int, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN self-join: for EVERY vector, its top-k nearest
+    neighbors by cosine among banded sign-LSH candidates. The all-pairs
+    k-NN graph (the clustering / semantic-dedup building block) without
+    the O(n²) product: candidates come from the same multi-band bucket
+    EQUI-join as ``rp_lsh_banded_pairs`` (both orientations kept, since
+    each row needs its own neighbor list), then one window ranks each
+    row's candidates by exact cosine. At 100 TB the only shuffles are
+    the band-bucket hash join and the per-vector rank — both keyed,
+    never a cross product; candidate counts per vector are bounded by
+    bucket occupancy (corpus/2^bits expected per band).
+
+    Output: (vec_id, neighbor_id, cos, nn_rank) with nn_rank 1..k,
+    ties broken by neighbor id — deterministic for the oracle."""
+    r = len(planes) // n_bands
+    sigs = rp_lsh_signature(df, planes, id_col, vec_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("bucket"), b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    ex = sigs.select(F.col(id_col), F.col(vec_col), F.explode(bands).alias("band")).select(
+        id_col, vec_col, "band.band_idx", "band.band_key"
+    )
+    a = ex.select(F.col(id_col).alias("__knn_id"), F.col(vec_col).alias("va"), "band_idx", "band_key")
+    b_ = ex.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"), "band_idx", "band_key")
+    cand = (
+        a.join(b_, ["band_idx", "band_key"])
+        .filter(F.col("__knn_id") != F.col("neighbor_id"))
+        .dropDuplicates(["__knn_id", "neighbor_id"])  # a pair may share several bands
+    )
+    scored = cand.select(
+        "__knn_id", "neighbor_id", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__knn_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .withColumnRenamed("__knn_id", id_col)
+    )
+
+
 def _nearest_centroid_cols(centroid_rows, vec_col: str, cent_id: str, cent_vec: str):
     """(centroid_id, cos) columns picking each row's max-cosine centroid
     as a single MAP-ONLY expression (array_max over (cos, -id) structs)
