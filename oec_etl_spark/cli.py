@@ -28,7 +28,7 @@ idempotent command surface::
         lag       --changes DIR --checkpoint DIR # backlog gauge (no JVM)
         archive   --changes DIR --checkpoint DIR --dest DIR|--delete
                                                  # binlog retention (no JVM)
-        export    --target DIR --dest DIR [--version V | --as-of ISO_TS]
+        export    --target DIR --dest DIR [--version V | --as-of ISO_TS] [--since ISO_TS]
         rename-column --target DIR --from C --to C2
         delete    --target DIR --where SQL       # predicate DML via the merge
         update    --target DIR --where SQL --set COL=EXPR ...
@@ -324,7 +324,10 @@ def cmd_export(spark, args) -> int:
         version = sink.version_as_of(
             datetime.datetime.fromisoformat(args.as_of).timestamp()
         )
-    df = sink.read_table(version=version)
+    if getattr(args, "since", None):
+        df = sink.scan_since(args.since, version=version)
+    else:
+        df = sink.read_table(version=version)
     df.write.mode("error").parquet(args.dest)
     n = spark.read.parquet(args.dest).count()
     print(json.dumps({
@@ -766,6 +769,10 @@ def main(argv: list[str] | None = None) -> int:
             g.add_argument("--version", type=int, default=None)
             g.add_argument("--as-of", default=None, metavar="ISO_TS",
                            help="export the snapshot current at this time")
+            sp.add_argument("--since", default=None, metavar="ISO_TS",
+                            help="only rows with ts >= this horizon, via the "
+                            "zone-map-pruned scan (skips files whose footer "
+                            "stats prove them older)")
         if name == "purge":
             sp.add_argument("--key", action="append", required=True,
                             metavar="CONV_ID", help="conversation to erase "

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # Modern parquet timestamps (µs INT64) instead of legacy INT96:
+        # INT96 chunks carry NO min/max footer statistics, which would
+        # blind the sink's file-level ts zone maps (and every other
+        # stats-based reader). Spark and DuckDB read both forms.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

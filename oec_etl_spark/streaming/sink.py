@@ -70,6 +70,20 @@ _TIE = "__tie"
 _FROM_BATCH = "__from_batch"
 _UF = "__uf"  # xxhash64(source_file) — fixed-width row uniquifier
 _UO = "__uo"  # delivery offset — fixed-width row uniquifier
+FILESTATS = "_filestats.json"  # per-bucket-dir ts zone map sidecar
+
+
+def _epoch_micros(ts) -> int:
+    """Accept datetime (naive = UTC), ISO string, or epoch seconds."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+    return int(float(ts) * 1_000_000)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -152,6 +166,49 @@ class ParquetSnapshotSink:
         out.write.mode("overwrite").partitionBy(META_BUCKET).parquet(
             os.path.join(self.root, vdir)
         )
+        self._record_file_stats(vdir)
+
+    def _record_file_stats(self, vdir: str) -> None:
+        """Zone map: per-file min/max of ``ts`` (epoch µs), harvested
+        from the parquet footers just written — metadata-only, O(files)
+        driver work, no Spark job (the Iceberg manifest column-stats
+        analog). The sidecar lives INSIDE each bucket dir so it travels
+        with clone's per-bucket copy and dies with expiry/vacuum; purge
+        rewrites a bucket dir wholesale, which simply drops the sidecar
+        there (readers fall back to not pruning — always sound)."""
+        import pyarrow.parquet as pq
+
+        base = os.path.join(self.root, vdir)
+        if not os.path.isdir(base):
+            return
+        for entry in os.listdir(base):
+            bdir = os.path.join(base, entry)
+            if not (entry.startswith(f"{META_BUCKET}=") and os.path.isdir(bdir)):
+                continue
+            stats: dict[str, dict] = {}
+            for fn in os.listdir(bdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+                sch = md.schema.to_arrow_schema()
+                if "ts" not in sch.names:
+                    continue
+                ci = sch.get_field_index("ts")
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break  # INT96/statless chunk: no claim for this file
+                    mn = int(st.min.timestamp() * 1_000_000)
+                    mx = int(st.max.timestamp() * 1_000_000)
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                stats[fn] = {"ts_min": lo, "ts_max": hi, "rows": md.num_rows}
+            tmp = os.path.join(bdir, FILESTATS + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(stats, f)
+            os.replace(tmp, os.path.join(bdir, FILESTATS))
 
     # ------------------------------------------------------------ state
     def _current_pointer(self) -> str:
@@ -968,7 +1025,13 @@ class ParquetSnapshotSink:
     def version_as_of(self, ts: float) -> int:
         """Newest snapshot committed at or before UNIX time ``ts``
         (TIMESTAMP AS OF analog): ``read_table(version_as_of(ts))``.
-        Falls back to manifest file mtime for pre-stamp manifests."""
+        Falls back to manifest file mtime for pre-stamp manifests.
+
+        The comparison carries 1 µs of slack: ``committed_at`` is a raw
+        ``time.time()`` float with sub-µs digits, while callers usually
+        arrive through a datetime/ISO roundtrip that truncates to whole
+        µs — without the slack, asking for "as of exactly commit N's
+        timestamp" can land 0.1 µs before commit N and miss it."""
         mdir = os.path.join(self.root, "_manifests")
         best: int | None = None
         for name in sorted(os.listdir(mdir)):
@@ -976,7 +1039,7 @@ class ParquetSnapshotSink:
             with open(path) as f:
                 man = json.load(f)
             at = man.get("committed_at") or os.path.getmtime(path)
-            if float(at) <= ts and (best is None or man["version"] > best):
+            if float(at) <= ts + 1e-6 and (best is None or man["version"] > best):
                 best = int(man["version"])
         if best is None:
             raise LookupError(f"no snapshot under {self.root} committed at or before {ts}")
@@ -1088,6 +1151,91 @@ class ParquetSnapshotSink:
         schema = T.StructType.fromJson(man["schema"])
         df = self._read_current(man, schema)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
+
+    def _pruned_files(self, dirs: list[str], since_us: int) -> tuple[list[str], int]:
+        """(kept file paths, total files): drop files whose zone map
+        proves every row is older than the horizon. Missing sidecar or
+        statless file → kept (conservative fallback, never wrong)."""
+        kept, total = [], 0
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            side: dict = {}
+            sp = os.path.join(d, FILESTATS)
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    side = json.load(f)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                st = side.get(fn)
+                if st and st.get("ts_max") is not None and st["ts_max"] < since_us:
+                    continue
+                kept.append(os.path.join(d, fn))
+        return kept, total
+
+    def scan_since(self, since, version: int | None = None) -> DataFrame:
+        """Time-horizon scan: live rows with ``ts >= since``, reading
+        only files whose zone map says they CAN hold such rows (the
+        "recent slice" read every incremental analytics / freshness job
+        issues).
+
+        Soundness — why PRE-merge file pruning is legal here, and only
+        for a lower ts bound: winners are chosen by the LWW order
+        (ts, seq, file), so everything a winner shadows is no newer
+        than it. Dropping a file with max(ts) < since removes only
+        (a) losers, which never affect output, or (b) winners older
+        than the horizon, whose keys are correctly absent anyway — and
+        any replacement winner the drop surfaces is older still, so the
+        residual row filter removes it. The mirror-image upper-bound
+        prune (min(ts) > hi) is NOT sound — dropping a too-new winner
+        would resurrect an older in-range row — so an upper bound must
+        stay a post-merge ``.filter(...)`` on the returned frame.
+
+        Why it pays at 100 TB: CDC arrivals are roughly time-ordered,
+        so merge-on-read delta files are tight time slices and a
+        compacted (or cow-carried-forward) base's max(ts) freezes at
+        its write — a "since yesterday" scan drops cold buckets' bases
+        and all old deltas from the LISTING alone. Stats were harvested
+        once at write time from the parquet footers; query time touches
+        no data file that the horizon excludes."""
+        man = self.load_manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        if version is None:
+            self._sync_layout(man)
+        since_us = _epoch_micros(since)
+        schema = T.StructType.fromJson(man["schema"])
+        store = storage_schema(schema)
+        dirty = sorted(int(b) for b, dd in man.get("deltas", {}).items() if dd)
+        clean = [int(b) for b in man.get("buckets", {}) if int(b) not in set(dirty)]
+        parts: list[DataFrame] = []
+        base_clean, _ = self._pruned_files(self._bucket_paths(man, clean), since_us)
+        if base_clean:
+            parts.append(self.spark.read.schema(store).parquet(*base_clean))
+        if dirty:
+            files, _ = self._pruned_files(
+                self._bucket_paths(man, dirty) + self._delta_paths(man, dirty), since_us
+            )
+            if files:
+                allrows = (
+                    self.spark.read.schema(store).parquet(*files)
+                    .withColumn("__file", F.xxhash64(F.input_file_name()))
+                )
+                parts.append(
+                    lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file")).drop("__file")
+                )
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.filter(~F.col(META_DELETED))
+            .filter(F.col("ts") >= F.timestamp_micros(F.lit(since_us)))
+            .select(*[f.name for f in schema.fields])
+        )
 
     def changelog(
         self, from_version: int, to_version: int | None = None, pre_post: bool = False

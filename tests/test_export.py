@@ -73,3 +73,35 @@ def test_export_head_version_and_as_of(spark, tmp_path, monkeypatch, capsys):
     with pytest.raises(Exception):
         cli.main(["export", "--target", cfg.target_dir, "--buckets", "4",
                   "--dest", str(tmp_path / "out_head")])
+
+
+def test_export_since_uses_zonemap_scan(spark, tmp_path, monkeypatch, capsys):
+    generate_changelog(GeneratorConfig(
+        out_dir=str(tmp_path / "changes"), seed=62, n_conversations=30,
+        n_segments=3, update_ratio=1.0))
+    cfg = EngineConfig(
+        changes_dir=str(tmp_path / "changes"), target_dir=str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "c"), n_buckets=4,
+    )
+    run_replay(spark, cfg)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, 4)
+    from pyspark.sql import functions as F
+
+    mid = sink.read_table().agg(
+        F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    import datetime
+
+    horizon = datetime.datetime.fromtimestamp(
+        mid / 1e6, tz=datetime.timezone.utc)
+    iso = horizon.isoformat()
+
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["export", "--target", cfg.target_dir, "--buckets", "4",
+                     "--dest", str(tmp_path / "out_since"), "--since", iso]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    exported = spark.read.parquet(str(tmp_path / "out_since"))
+    _assert_same(exported, sink.read_table().filter(F.col("ts") >= F.lit(horizon)))
+    assert out["rows"] == exported.count() > 0

@@ -1,0 +1,126 @@
+"""ts zone maps + the time-horizon scan (`scan_since`).
+
+Write-time footer stats per data file (Iceberg manifest column-stats
+analog) let a `ts >= since` read drop files from the LISTING alone.
+Pruning pre-merge is sound only for a lower bound — the LWW order is
+ts-aligned, so a dropped file can hold only losers or winners that are
+older than the horizon (see scan_since's docstring) — and these tests
+pin both halves: fewer files actually read, and exact row equality with
+the unpruned read + post-filter, including tombstones across the
+horizon and the no-sidecar fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from oec_etl_spark.schemas import CHANGE_SCHEMA
+from oec_etl_spark.streaming.engine import quarantine_split
+from oec_etl_spark.streaming.sink import FILESTATS, ParquetSnapshotSink
+
+
+def _ts(day: int):
+    return datetime(2024, 1, day, 12, 0, tzinfo=timezone.utc)
+
+
+def _ev(conv, turn, seq, ts, op="U", text="t"):
+    return {
+        "seq": seq, "op": op, "conv_id": conv, "turn_idx": turn,
+        "role": "user", "text": text, "tool": None, "ts": ts,
+        "source_file": "s0", "offset": seq,
+    }
+
+
+def _merge(spark, sink, rows, batch_id):
+    valid, _ = quarantine_split(spark.createDataFrame(rows, CHANGE_SCHEMA))
+    sink.merge(valid, batch_id=batch_id)
+
+
+def _old_batch():
+    # 20 conversations, all activity on day 1-2
+    return [_ev(f"c{i}", t, seq=i * 10 + t, ts=_ts(1 + t % 2)) for i in range(20) for t in range(3)]
+
+
+def _recent_batch():
+    # 2 conversations touched again on day 10: an update, a fresh turn,
+    # and a delete of an old row (tombstone newer than the horizon)
+    return [
+        _ev("c0", 0, seq=1000, ts=_ts(10), text="updated"),
+        _ev("c1", 9, seq=1001, ts=_ts(10), text="new turn"),
+        _ev("c2", 0, seq=1002, ts=_ts(10), op="D"),
+    ]
+
+
+def _expected(sink, since):
+    return sink.read_table().filter(F.col("ts") >= F.lit(since))
+
+
+def _same_rows(a, b):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    a, b = a.select(*cols), b.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_scan_since_prunes_cow_and_matches_filter(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    _merge(spark, sink, _old_batch(), 0)
+    _merge(spark, sink, _recent_batch(), 1)
+
+    since = _ts(5)
+    got = sink.scan_since(since)
+    _same_rows(got, _expected(sink, since))
+    # the tombstoned key is gone, the update is the new text
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in got.collect()}
+    assert ("c2", 0) not in rows
+    assert rows[("c0", 0)] == "updated"
+    # cow carried the untouched buckets' old base files forward — the
+    # horizon drops them from the listing
+    assert len(got.inputFiles()) < len(sink.read_table().inputFiles())
+
+
+def test_scan_since_prunes_mor_base_under_deltas(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4, table_mode="mor")
+    _merge(spark, sink, _old_batch(), 0)
+    _merge(spark, sink, _recent_batch(), 1)
+
+    since = _ts(5)
+    got = sink.scan_since(since)
+    _same_rows(got, _expected(sink, since))
+    # even DIRTY buckets prune their old base files pre-merge (the
+    # LWW-order soundness argument) — only the recent deltas are read
+    assert len(got.inputFiles()) < len(sink.read_table().inputFiles())
+
+
+def test_scan_since_horizon_before_everything_is_full_table(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    _merge(spark, sink, _old_batch(), 0)
+    got = sink.scan_since(_ts(1).replace(hour=0))
+    _same_rows(got, sink.read_table())
+
+
+def test_scan_since_fallback_without_sidecars(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    _merge(spark, sink, _old_batch(), 0)
+    _merge(spark, sink, _recent_batch(), 1)
+    for dirpath, _dirs, files in os.walk(str(tmp_path / "t")):
+        for fn in files:
+            if fn == FILESTATS:
+                os.remove(os.path.join(dirpath, fn))
+    since = _ts(5)
+    got = sink.scan_since(since)
+    _same_rows(got, _expected(sink, since))
+    # conservative fallback: nothing pruned, everything read
+    assert len(got.inputFiles()) == len(sink.read_table().inputFiles())
+
+
+def test_scan_since_null_ts_rows_are_excluded_not_fatal(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    rows = _old_batch() + [_ev("cnull", 0, seq=5000, ts=None)]
+    _merge(spark, sink, rows, 0)
+    got = sink.scan_since(_ts(1).replace(hour=0))
+    assert got.filter(F.col("conv_id") == "cnull").count() == 0
+    assert sink.read_table().filter(F.col("conv_id") == "cnull").count() == 1
