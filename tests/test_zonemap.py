@@ -13,7 +13,7 @@ horizon and the no-sidecar fallback.
 from __future__ import annotations
 
 import os
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import functions as F
 
@@ -124,3 +124,52 @@ def test_scan_since_null_ts_rows_are_excluded_not_fatal(spark, tmp_path):
     got = sink.scan_since(_ts(1).replace(hour=0))
     assert got.filter(F.col("conv_id") == "cnull").count() == 0
     assert sink.read_table().filter(F.col("conv_id") == "cnull").count() == 1
+
+
+# --------------------------------------------------------------- property
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_event = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, 4),   # conv
+    st.integers(0, 1),   # turn
+    st.integers(0, 23),  # ts hour (ties + cross-horizon shadowing)
+)
+_batches = st.lists(st.lists(_event, min_size=1, max_size=6), min_size=1, max_size=4)
+
+
+def _rows(events, seq0):
+    out = []
+    for i, (op, conv, turn, h) in enumerate(events):
+        dead = op == "D"
+        out.append({
+            "seq": seq0 + i, "op": op, "conv_id": f"c{conv}", "turn_idx": turn,
+            "role": None if dead else "user",
+            "text": None if dead else f"t{seq0 + i}", "tool": None,
+            "ts": datetime(2024, 1, 1, h, tzinfo=timezone.utc),
+            "source_file": f"s{seq0 + i}", "offset": seq0 + i,
+        })
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=_batches, mode=st.sampled_from(["cow", "mor"]),
+       horizon_h=st.integers(0, 24))
+def test_scan_since_equals_filtered_read_for_any_history(spark, batches, mode, horizon_h):
+    """The soundness claim as a property: for ANY insert/update/delete
+    history (ts ties, deletes shadowing across the horizon, both table
+    modes), the zone-map-pruned scan equals the unpruned read + filter."""
+    root = tempfile.mkdtemp(prefix="zmap-prop-")
+    sink = ParquetSnapshotSink(spark, root, 4, table_mode=mode)
+    seq = 0
+    for i, events in enumerate(batches):
+        _merge(spark, sink, _rows(events, seq), i)
+        seq += len(events)
+    horizon = datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(hours=horizon_h)
+    got = sink.scan_since(horizon)
+    _same_rows(got, sink.read_table().filter(F.col("ts") >= F.lit(horizon)))
