@@ -421,6 +421,7 @@ def cmd_describe(spark, args) -> int:
         "branches": sink.branches() or None,
         "tags": sink.tags() or None,
         "cursors": cursors(sink) or None,
+        "zonemap": sink.zonemap_summary(),
     }))
     return 0
 

@@ -1175,6 +1175,37 @@ class ParquetSnapshotSink:
                 kept.append(os.path.join(d, fn))
         return kept, total
 
+    def zonemap_summary(self, version: int | None = None) -> dict:
+        """Zone-map coverage of a snapshot, metadata-only (listing +
+        sidecars, no data/footer reads): total data files, how many
+        carry ts stats (the prunable fraction a `scan_since` can act
+        on), and the table's overall ts span in epoch µs."""
+        man = self.load_manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        files = with_stats = 0
+        lo: int | None = None
+        hi: int | None = None
+        for d in self._bucket_paths(man) + self._delta_paths(man):
+            if not os.path.isdir(d):
+                continue
+            side: dict = {}
+            sp = os.path.join(d, FILESTATS)
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    side = json.load(f)
+            for fn in os.listdir(d):
+                if not fn.endswith(".parquet"):
+                    continue
+                files += 1
+                st = side.get(fn)
+                if st and st.get("ts_max") is not None:
+                    with_stats += 1
+                    lo = st["ts_min"] if lo is None else min(lo, st["ts_min"])
+                    hi = st["ts_max"] if hi is None else max(hi, st["ts_max"])
+        return {"files": files, "with_stats": with_stats,
+                "ts_min_us": lo, "ts_max_us": hi}
+
     def scan_since(self, since, version: int | None = None) -> DataFrame:
         """Time-horizon scan: live rows with ``ts >= since``, reading
         only files whose zone map says they CAN hold such rows (the

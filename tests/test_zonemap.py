@@ -173,3 +173,16 @@ def test_scan_since_equals_filtered_read_for_any_history(spark, batches, mode, h
     horizon = datetime(2024, 1, 1, tzinfo=timezone.utc) + timedelta(hours=horizon_h)
     got = sink.scan_since(horizon)
     _same_rows(got, sink.read_table().filter(F.col("ts") >= F.lit(horizon)))
+
+
+def test_zonemap_summary_counts_and_span(spark, tmp_path):
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=4)
+    _merge(spark, sink, _old_batch(), 0)
+    _merge(spark, sink, _recent_batch(), 1)
+    s = sink.zonemap_summary()
+    assert s["files"] == len(sink.read_table().inputFiles())
+    assert s["with_stats"] == s["files"]  # every file written by this engine
+    assert s["ts_min_us"] <= s["ts_max_us"]
+    lo = datetime.fromtimestamp(s["ts_min_us"] / 1e6, tz=timezone.utc)
+    hi = datetime.fromtimestamp(s["ts_max_us"] / 1e6, tz=timezone.utc)
+    assert lo == _ts(1) and hi == _ts(10)
