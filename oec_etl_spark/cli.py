@@ -153,6 +153,8 @@ def cmd_compact(spark, args) -> int:
     if args.minor:
         if args.tombstone_horizon:
             raise SystemExit("--tombstone-horizon needs a full rewrite; drop --minor")
+        if args.ts_split_files > 1:
+            raise SystemExit("--ts-split-files needs a full rewrite; drop --minor")
         done = sink.compact_minor(min_deltas=args.min_deltas)
     else:
         horizon = None
@@ -160,7 +162,8 @@ def cmd_compact(spark, args) -> int:
             import datetime
 
             horizon = datetime.datetime.fromisoformat(args.tombstone_horizon)
-        done = sink.compact(tombstone_horizon=horizon)
+        done = sink.compact(tombstone_horizon=horizon,
+                            ts_split_files=args.ts_split_files)
     expired = []
     if args.expire:
         older = None
@@ -733,6 +736,10 @@ def main(argv: list[str] | None = None) -> int:
                                  "rewriting its base (O(deltas), not O(base))")
             sp.add_argument("--min-deltas", type=int, default=2,
                             help="minor: skip buckets with fewer delta files")
+            sp.add_argument("--ts-split-files", type=int, default=1,
+                            help="write each rewritten bucket as ~N ts-range files "
+                                 "(secondary time partitioning) so scan_since/"
+                                 "export --since prunes cold slices of the base")
         if name == "vacuum":
             sp.add_argument("--older-than-s", type=float, default=3600.0)
         if name == "rollback":

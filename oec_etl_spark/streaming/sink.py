@@ -145,13 +145,25 @@ class ParquetSnapshotSink:
         self.profile = profile
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
-    def _write_store(self, store: DataFrame, vdir: str) -> None:
+    def _write_store(self, store: DataFrame, vdir: str, ts_split: int = 1) -> None:
         """Bucket-aligned write: repartition to the bucket layout first
         (otherwise every shuffle task opens a file in every touched
         bucket dir — N×buckets small files, measured anti-scaling),
         optionally fanned out to ~files_per_bucket tasks per bucket,
-        optionally sorting each task's rows by key (write_sorted)."""
-        if self.files_per_bucket > 1:
+        optionally sorting each task's rows by key (write_sorted).
+
+        ``ts_split > 1`` (compaction only) range-partitions each bucket
+        on ``ts`` into ~ts_split files instead — Iceberg's secondary
+        ``days(ts)`` partitioning analog: every output file owns a
+        compact time slice, so the zone maps make a later `scan_since`
+        prune WITHIN the compacted base, not just across deltas. It
+        supersedes the conv-hash fan-out for that write (a file can't
+        be both a time slice and a conversation shard)."""
+        if ts_split > 1:
+            out = store.repartitionByRange(
+                self.n_buckets * ts_split, F.col(META_BUCKET), F.col("ts")
+            )
+        elif self.files_per_bucket > 1:
             salt = F.pmod(
                 F.xxhash64(F.col("conv_id"), F.lit("subfile")),
                 F.lit(self.files_per_bucket),
@@ -437,7 +449,8 @@ class ParquetSnapshotSink:
         return deleted
 
     def compact(
-        self, buckets: list[int] | None = None, tombstone_horizon: object = None
+        self, buckets: list[int] | None = None, tombstone_horizon: object = None,
+        ts_split_files: int = 1,
     ) -> list[int]:
         """Merge-on-read compaction: rewrite each chosen bucket's base as
         the LWW merge of (base ∪ deltas) and clear its delta list —
@@ -453,7 +466,13 @@ class ParquetSnapshotSink:
         arrive, so those tombstones can never lose-protect anything
         again and deleted keys stop occupying space forever. Tombstones
         with NULL ts are kept (no ordering evidence to expire on).
-        Returns the buckets compacted."""
+
+        ``ts_split_files > 1`` writes each rewritten bucket as ~that
+        many ts-range files (secondary time partitioning): combined
+        with the write-time zone maps, a later ``scan_since`` horizon
+        prunes the cold slices of a compacted base instead of reading
+        all of it — the difference between O(table) and O(recent) for
+        time-scoped reads at 10^10 rows. Returns the buckets compacted."""
         man = self.load_manifest()
         if man is None or not man.get("deltas"):
             return []
@@ -473,7 +492,7 @@ class ParquetSnapshotSink:
         new_version = man["version"] + 1
         self._precheck_version(new_version)  # before touching data/v{new_version}
         vdir = f"data/v{new_version:06d}"
-        self._write_store(store, vdir)
+        self._write_store(store, vdir, ts_split=max(1, int(ts_split_files)))
         man["version"] = new_version
         for b in chosen:
             man["buckets"][str(b)] = vdir

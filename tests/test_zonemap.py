@@ -186,3 +186,27 @@ def test_zonemap_summary_counts_and_span(spark, tmp_path):
     lo = datetime.fromtimestamp(s["ts_min_us"] / 1e6, tz=timezone.utc)
     hi = datetime.fromtimestamp(s["ts_max_us"] / 1e6, tz=timezone.utc)
     assert lo == _ts(1) and hi == _ts(10)
+
+
+def test_compact_ts_split_makes_base_prunable(spark, tmp_path):
+    """Time-split compaction (secondary days(ts) partitioning analog):
+    after compact(ts_split_files=4), a bucket's base is ~4 ts-range
+    files, so a scan_since horizon prunes the COLD SLICES of the base
+    itself — the read stays O(recent) even with zero deltas."""
+    sink = ParquetSnapshotSink(spark, str(tmp_path / "t"), n_buckets=2, table_mode="mor")
+    # activity spread over days 1..8 across every conversation
+    rows = [
+        _ev(f"c{i}", t, seq=i * 100 + t, ts=_ts(1 + (i * 3 + t) % 8))
+        for i in range(16) for t in range(4)
+    ]
+    _merge(spark, sink, rows[:32], 0)
+    _merge(spark, sink, rows[32:], 1)
+    sink.compact(ts_split_files=4)
+    assert not any(dd for dd in sink.load_manifest().get("deltas", {}).values())
+
+    total = len(sink.read_table().inputFiles())
+    assert total > 2  # the 2 buckets really did split by time
+    since = _ts(7)
+    got = sink.scan_since(since)
+    _same_rows(got, _expected(sink, since))
+    assert len(got.inputFiles()) < total  # cold slices of the BASE pruned
