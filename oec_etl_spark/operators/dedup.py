@@ -338,3 +338,36 @@ def dedup_survivors(
         )
     labels, _ = cc_propagate(docs, pairs, id_col, max_iter)
     return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("survivor_id"))
+
+
+def dedup_best_survivors(
+    docs: DataFrame, pairs: DataFrame, quality: Column,
+    id_col: str = "doc_id", max_iter: int = 20,
+) -> DataFrame:
+    """Cluster-exemplar selection: within each near-dup component, keep
+    the HIGHEST-QUALITY document (tiebreak: lowest id) instead of the
+    arbitrary min-id survivor — what a real corpus pipeline wants, since
+    near-dups differ in boilerplate/truncation and the keeper should be
+    the cleanest copy. One extra hash aggregate (``max_by`` over a
+    (quality, -id) struct per component) and one broadcast-size join
+    beyond ``dedup_survivors``; components are near-dup clusters, so
+    the per-group state is tiny no matter the corpus size.
+
+    Output: (id, survivor_id, survivor_quality) — survivor_quality is
+    the keeper's score, rounded for oracle-stable hashing."""
+    comp = dedup_survivors(docs, pairs, id_col, max_iter).withColumnRenamed(
+        "survivor_id", "__comp"
+    )
+    q = docs.select(F.col(id_col), quality.alias("__q"))
+    lq = comp.join(q, id_col)
+    best = lq.groupBy("__comp").agg(
+        F.max_by(
+            F.struct(F.col(id_col).alias("bid"), F.col("__q").alias("bq")),
+            F.struct(F.col("__q"), (-F.col(id_col)).alias("__negid")),
+        ).alias("__b")
+    )
+    return comp.join(best, "__comp").select(
+        id_col,
+        F.col("__b.bid").alias("survivor_id"),
+        F.round(F.col("__b.bq"), 6).alias("survivor_quality"),
+    )

@@ -2166,5 +2166,37 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
+@_register(
+    "dedup_best_survivors",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    und AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+            UNION SELECT doc_b, doc_a FROM lsh_pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    minr AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+    comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(minr.mv, d.doc_id)) AS comp_id
+             FROM documents d LEFT JOIN minr ON minr.u = d.doc_id),
+    q AS (SELECT doc_id, {tx.quality_score_sql("text")} AS q FROM documents),
+    best AS (SELECT comp_id, doc_id AS best_id FROM (
+        SELECT c.comp_id, c.doc_id,
+               row_number() OVER (PARTITION BY c.comp_id ORDER BY q.q DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rn = 1)
+    SELECT c.doc_id, b.best_id AS survivor_id, round(q2.q, 6) AS survivor_quality
+    FROM comp c JOIN best b ON b.comp_id = c.comp_id JOIN q q2 ON q2.doc_id = b.best_id
+    """,
+    tags="cluster-exemplar selection: keep the highest-quality doc per near-dup "
+         "component (the keeper a corpus pipeline actually wants), min-id tiebreak",
+)
+def dedup_best_survivors(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dd.dedup_best_survivors(
+        docs, dd.dedup_minhash_lsh(docs), tx.quality_score(F.col("text"))
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

@@ -56,8 +56,9 @@ def _rows(events, seq0):
 
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
-@given(ops=_ops, fanout=st.sampled_from([1, 2, 3]))
-def test_maintenance_interleavings_preserve_table(spark, ops, fanout):
+@given(ops=_ops, fanout=st.sampled_from([1, 2, 3]),
+       ts_split=st.sampled_from([1, 3]))
+def test_maintenance_interleavings_preserve_table(spark, ops, fanout, ts_split):
     root = tempfile.mkdtemp(prefix="mnt-prop-")
     sink = ParquetSnapshotSink(spark, root, 4, table_mode="mor",
                                files_per_bucket=fanout)
@@ -79,7 +80,8 @@ def test_maintenance_interleavings_preserve_table(spark, ops, fanout):
             sink.merge(spark.createDataFrame(rows, CHANGE_SCHEMA), batch_id=i)
         else:
             before = table()
-            (sink.compact_minor(min_deltas=1) if op == "minor" else sink.compact())
+            (sink.compact_minor(min_deltas=1) if op == "minor"
+             else sink.compact(ts_split_files=ts_split))
             assert table() == before  # maintenance is invisible
     if merged:
         oracle = materialize(spark.createDataFrame(merged, CHANGE_SCHEMA))
