@@ -32,6 +32,8 @@ idempotent command surface::
         rename-column --target DIR --from C --to C2
         delete    --target DIR --where SQL       # predicate DML via the merge
         update    --target DIR --where SQL --set COL=EXPR ...
+        requeue   --quarantine DIR --changes DIR [--reason NAME]
+                                                 # drain the DLQ back into the stream
         stats     --target DIR                   # ops rollup (+--profile nulls)
 
     replay/resume/tail also take: --files-per-bucket K (write fan-out),
@@ -338,6 +340,19 @@ def cmd_export(spark, args) -> int:
         "version": version if version is not None
         else sink.load_manifest()["version"],
     }))
+    return 0
+
+
+def cmd_requeue(spark, args) -> int:
+    """Drain the DLQ back into the watched change dir (optionally only
+    named reject reasons) — rows re-enter through the normal gate on
+    the next batch; still-failing rows come straight back with their
+    reason. See requeue_quarantined for the crash-safety argument."""
+    from oec_etl_spark.streaming.engine import requeue_quarantined
+
+    print(json.dumps(requeue_quarantined(
+        spark, args.quarantine, args.changes, reasons=args.reason
+    )))
     return 0
 
 
@@ -649,7 +664,7 @@ def main(argv: list[str] | None = None) -> int:
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
-                 "delete", "update",
+                 "delete", "update", "requeue",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -678,12 +693,20 @@ def main(argv: list[str] | None = None) -> int:
                            help="delete committed segments instead of moving")
             sp.add_argument("--older-than-s", type=float, default=0.0,
                             help="additionally require segment mtime older than this")
+        if name == "requeue":
+            sp.add_argument("--quarantine", required=True,
+                            help="DLQ dir written by --quarantine-dir runs")
+            sp.add_argument("--changes", required=True,
+                            help="watched change dir to re-inject into")
+            sp.add_argument("--reason", action="append", default=None,
+                            metavar="NAME", help="drain only this reject reason "
+                            "(repeatable; default drains everything)")
         if name == "run":
             sp.add_argument("--pipeline", required=True, metavar="YAML",
                             help="declarative pipeline spec (mode + EngineConfig)")
             sp.add_argument("--for-seconds", type=int, default=None,
                             help="tail mode: stop after N seconds")
-        elif name not in ("lag", "archive"):  # source+checkpoint-scoped, no table
+        elif name not in ("lag", "archive", "requeue"):  # no table handle needed
             sp.add_argument("--target", required=True)
         if name == "changelog":
             sp.add_argument("--from-version", type=int, required=True)
@@ -808,6 +831,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_tail(spark, args)
         if args.cmd == "verify":
             return cmd_verify(spark, args)
+        if args.cmd == "requeue":
+            return cmd_requeue(spark, args)
         if args.cmd == "compact":
             return cmd_compact(spark, args)
         if args.cmd == "vacuum":

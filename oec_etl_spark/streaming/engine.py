@@ -405,3 +405,65 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         if n_bad:
             bad.write.mode("append").parquet(cfg.quarantine_dir)
     return sink.merge(valid, batch_id=0, quarantined=n_bad)
+
+
+def requeue_quarantined(
+    spark: SparkSession,
+    quarantine_dir: str,
+    changes_dir: str,
+    reasons: list[str] | None = None,
+) -> dict:
+    """Drain the DLQ back into the change stream — the second half of
+    the quarantine story: after the upstream fix (a constraint dropped
+    or corrected, a producer patched), the rejected rows should flow
+    through the SAME gate as live traffic, not a side door. Selected
+    rows lose their ``__reject`` tag and land as one new change segment
+    in the watched dir, so the running tail (or the next replay on the
+    same checkpoint) merges them with full constraint/derive/enrich
+    semantics; rows that STILL fail come straight back to the DLQ with
+    their reason.
+
+    Ordering is crash-safe by the merge semilattice: the new segment is
+    written BEFORE the DLQ shrinks, so a crash in between at worst
+    re-delivers rows whose re-application is an LWW no-op (a doubled
+    still-failing row doubles in the DLQ — re-requeue dedups through
+    the same path). ``reasons`` limits the drain to named reject
+    reasons; default drains everything."""
+    import glob as _glob
+    import os
+    import shutil
+    import time as _time
+
+    files = sorted(_glob.glob(os.path.join(quarantine_dir, "*.parquet")))
+    if not files:
+        return {"requeued": 0, "kept": 0, "segment": None}
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    pred = F.col("__reject").isin(list(reasons)) if reasons else F.lit(True)
+    out = df.filter(pred).drop("__reject")
+    keep = df.filter(~pred)
+    n_out, n_keep = out.count(), keep.count()
+    segment = None
+    if n_out:
+        tmp = os.path.join(quarantine_dir, "__requeue_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        segment = os.path.join(
+            changes_dir, f"requeue-{int(_time.time() * 1000)}.parquet"
+        )
+        os.replace(os.path.join(tmp, part), segment)  # visible to the stream NOW
+        shutil.rmtree(tmp, ignore_errors=True)
+    # shrink the DLQ only after the segment is durable
+    if n_out:
+        tmp2 = os.path.join(quarantine_dir, "__keep_tmp")
+        shutil.rmtree(tmp2, ignore_errors=True)
+        if n_keep:
+            keep.write.mode("overwrite").parquet(tmp2)
+        for f in files:
+            os.remove(f)
+        if n_keep:
+            for p in os.listdir(tmp2):
+                if p.endswith(".parquet"):
+                    os.replace(os.path.join(tmp2, p), os.path.join(quarantine_dir, p))
+            shutil.rmtree(tmp2, ignore_errors=True)
+    return {"requeued": n_out, "kept": n_keep, "segment": segment}
