@@ -2198,5 +2198,81 @@ def dedup_best_survivors(spark, sf_dir):
     )
 
 
+# The gate CASE shared by doc_pipeline_gate and corpus_curated (SQL side).
+_GATE_CASE = f"""CASE WHEN len(t) < 20 THEN 'too_short'
+                WHEN {{mwl}} NOT BETWEEN 3.0 AND 10.0 THEN 'weird_words'
+                WHEN {{dup}} > 0.55 THEN 'repetitive'
+                WHEN {{q}} < 0.05 THEN 'low_quality'
+                ELSE 'keep' END"""
+
+
+@_register(
+    "corpus_curated",
+    f"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               {_GATE_CASE.format(mwl=tx.mean_word_len_sql("text", "t"),
+                                  dup=tx.dup_word_frac_sql("t"),
+                                  q=tx.quality_score_sql("text"))} AS verdict
+        FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents))
+      WHERE verdict = 'keep'),
+    {_LSH_CTES.replace("FROM documents", "FROM kept")},
+    und AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+            UNION SELECT doc_b, doc_a FROM lsh_pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    minr AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+    comp AS (SELECT k.doc_id, least(k.doc_id, coalesce(minr.mv, k.doc_id)) AS comp_id
+             FROM kept k LEFT JOIN minr ON minr.u = k.doc_id),
+    q AS (SELECT doc_id, {tx.quality_score_sql("text")} AS q FROM kept),
+    best AS (SELECT comp_id, doc_id AS best_id FROM (
+        SELECT c.comp_id, c.doc_id,
+               row_number() OVER (PARTITION BY c.comp_id ORDER BY q.q DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rn = 1)
+    SELECT b.best_id AS doc_id, k.lang, round(q.q, 6) AS quality,
+           {tx.n_tokens_sql("k.text")} AS n_tokens
+    FROM best b
+    JOIN kept k ON k.doc_id = b.best_id
+    JOIN q ON q.doc_id = b.best_id
+    """,
+    tags="end-to-end corpus curation: hygiene gate → near-dup clustering over the "
+         "KEPT docs only (garbage can't bridge clusters) → highest-quality exemplar "
+         "per cluster — one composed lazy plan, the full training-data filter stage",
+)
+def corpus_curated(spark, sf_dir):
+    """The whole curation stage as ONE lazy composition: the gate's
+    codegen'd CASE prunes first (so near-dup never shingles garbage,
+    and rejected docs can't bridge two clusters), MinHash-LSH pairs +
+    CC labels run over the kept subset, and each cluster keeps its
+    highest-quality copy. Catalyst fuses gate+shingle into one scan;
+    the only shuffles are the LSH band join, the CC rounds, and two
+    hash aggregates — the same plan shape at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_words = F.size(tx.tokens(c)).cast("long")
+    verdict = (
+        F.when(n_words < 20, "too_short")
+        .when(~tx.mean_word_len(c).between(3.0, 10.0), "weird_words")
+        .when(tx.dup_word_frac(c) > 0.55, "repetitive")
+        .when(tx.quality_score(c) < 0.05, "low_quality")
+        .otherwise("keep")
+    )
+    kept = d.filter(verdict == "keep")
+    surv = dd.dedup_best_survivors(kept, dd.dedup_minhash_lsh(kept), tx.quality_score(c))
+    return (
+        surv.filter(F.col("doc_id") == F.col("survivor_id"))
+        .join(kept, "doc_id")
+        .select(
+            "doc_id", "lang",
+            F.col("survivor_quality").alias("quality"),
+            tx.n_tokens(F.col("text")).alias("n_tokens"),
+        )
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]
