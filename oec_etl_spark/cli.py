@@ -351,7 +351,8 @@ def cmd_requeue(spark, args) -> int:
     from oec_etl_spark.streaming.engine import requeue_quarantined
 
     print(json.dumps(requeue_quarantined(
-        spark, args.quarantine, args.changes, reasons=args.reason
+        spark, args.quarantine, args.changes, reasons=args.reason,
+        file_format=args.format,
     )))
     return 0
 
@@ -701,6 +702,10 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--reason", action="append", default=None,
                             metavar="NAME", help="drain only this reject reason "
                             "(repeatable; default drains everything)")
+            sp.add_argument("--format", default="parquet",
+                            choices=["parquet", "json"],
+                            help="change-log format of the watched dir — the "
+                            "re-injected segment must speak it")
         if name == "run":
             sp.add_argument("--pipeline", required=True, metavar="YAML",
                             help="declarative pipeline spec (mode + EngineConfig)")

@@ -412,6 +412,7 @@ def requeue_quarantined(
     quarantine_dir: str,
     changes_dir: str,
     reasons: list[str] | None = None,
+    file_format: str = "parquet",
 ) -> dict:
     """Drain the DLQ back into the change stream — the second half of
     the quarantine story: after the upstream fix (a constraint dropped
@@ -428,7 +429,10 @@ def requeue_quarantined(
     re-delivers rows whose re-application is an LWW no-op (a doubled
     still-failing row doubles in the DLQ — re-requeue dedups through
     the same path). ``reasons`` limits the drain to named reject
-    reasons; default drains everything."""
+    reasons; default drains everything. ``file_format`` must match the
+    pipeline's change-log format (EngineConfig.format): the DLQ itself
+    is always parquet, but the re-injected segment is read by the
+    stream source, which speaks one format per dir."""
     import glob as _glob
     import os
     import shutil
@@ -446,10 +450,20 @@ def requeue_quarantined(
     if n_out:
         tmp = os.path.join(quarantine_dir, "__requeue_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        ext = "json" if file_format == "json" else "parquet"
+        writer = out.coalesce(1).write.mode("overwrite").format(file_format)
+        if file_format == "json":
+            # Spark's default json timestampFormat truncates to millis;
+            # the binlog wire format (generate.py) carries ISO micros —
+            # a truncated requeue copy would diverge from its original
+            # by sub-ms and flip LWW comparisons against the oracle.
+            writer = writer.option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            )
+        writer.save(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(f".{ext}"))
         segment = os.path.join(
-            changes_dir, f"requeue-{int(_time.time() * 1000)}.parquet"
+            changes_dir, f"requeue-{int(_time.time() * 1000)}.{ext}"
         )
         os.replace(os.path.join(tmp, part), segment)  # visible to the stream NOW
         shutil.rmtree(tmp, ignore_errors=True)

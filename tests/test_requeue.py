@@ -110,3 +110,27 @@ def test_requeue_empty_dlq_is_noop(spark, tmp_path):
     os.makedirs(str(tmp_path / "changes"), exist_ok=True)
     res = requeue_quarantined(spark, str(tmp_path / "dlq"), str(tmp_path / "changes"))
     assert res == {"requeued": 0, "kept": 0, "segment": None}
+
+
+def test_requeue_speaks_the_pipelines_change_log_format(spark, tmp_path):
+    """A json-format pipeline must get a JSON requeue segment — a
+    parquet file dropped into a json-watched dir would be read as
+    garbage by the stream source."""
+    generate_changelog(GeneratorConfig(
+        out_dir=str(tmp_path / "changes"), seed=24, n_conversations=20,
+        n_segments=2, file_format="json"))
+    cfg = _cfg(tmp_path, format="json",
+               constraints={"no_assistant": "role <> 'assistant'"})
+    run_replay(spark, cfg)
+    n_dlq = spark.read.parquet(str(tmp_path / "dlq")).count()
+    assert n_dlq > 0
+
+    res = requeue_quarantined(
+        spark, str(tmp_path / "dlq"), cfg.changes_dir, file_format="json")
+    assert res["requeued"] == n_dlq and res["segment"].endswith(".json")
+    run_replay(spark, _cfg(tmp_path, format="json"))
+
+    df = spark.read.schema(CHANGE_SCHEMA).format("json").load(cfg.changes_dir)
+    valid, _ = quarantine_split(df)
+    sink = ParquetSnapshotSink(spark, cfg.target_dir, 4)
+    _same(sink.read_table(), materialize(valid))
