@@ -467,17 +467,23 @@ def requeue_quarantined(
         )
         os.replace(os.path.join(tmp, part), segment)  # visible to the stream NOW
         shutil.rmtree(tmp, ignore_errors=True)
-    # shrink the DLQ only after the segment is durable
+    # Shrink the DLQ only after the segment is durable — and install the
+    # kept rewrite BEFORE removing the originals: a crash in between
+    # leaves kept rows doubled (harmless — a later requeue re-dedups
+    # through the idempotent merge), never lost.
     if n_out:
         tmp2 = os.path.join(quarantine_dir, "__keep_tmp")
         shutil.rmtree(tmp2, ignore_errors=True)
+        installed = []
         if n_keep:
             keep.write.mode("overwrite").parquet(tmp2)
-        for f in files:
-            os.remove(f)
-        if n_keep:
-            for p in os.listdir(tmp2):
+            for i, p in enumerate(sorted(os.listdir(tmp2))):
                 if p.endswith(".parquet"):
-                    os.replace(os.path.join(tmp2, p), os.path.join(quarantine_dir, p))
+                    dest = os.path.join(quarantine_dir, f"kept-{int(_time.time() * 1000)}-{i}.parquet")
+                    os.replace(os.path.join(tmp2, p), dest)
+                    installed.append(dest)
             shutil.rmtree(tmp2, ignore_errors=True)
+        for f in files:
+            if f not in installed:
+                os.remove(f)
     return {"requeued": n_out, "kept": n_keep, "segment": segment}
