@@ -2274,5 +2274,74 @@ def corpus_curated(spark, sf_dir):
     )
 
 
+@_register(
+    "orders_value_deciles",
+    """
+    SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    GROUP BY o_orderpriority, decile
+    """,
+    tags="window breadth: NTILE decile banding per group + per-band stats "
+         "(the value-distribution profile a monitoring job computes)",
+)
+def orders_value_deciles(spark, sf_dir):
+    """Per-priority price deciles: ntile's deterministic tie order is
+    pinned with o_orderkey so Spark and DuckDB band identically. One
+    window shuffle keyed by the group + one hash agg — the window
+    partitions by a bounded-cardinality key, so no single-reducer
+    global sort at any scale."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select("o_orderpriority", F.col("decile").cast("int").alias("decile"),
+                "n_orders", "lo", "hi")
+    )
+
+
+@_register(
+    "orders_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    tags="aggregation breadth: explicit GROUPING SETS (two independent "
+         "one-dimension rollups + grand total in ONE pass, completing "
+         "rollup/cube/pivot)",
+)
+def orders_grouping_sets(spark, sf_dir):
+    """Two marginals + the grand total in one shuffle — GROUPING SETS
+    expands to a union-of-groupings inside the aggregate (each input
+    row feeds every set), so the scan runs once; grouping() flags
+    disambiguate the NULLs of absent dimensions from real NULL data."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT) AS gid
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]
