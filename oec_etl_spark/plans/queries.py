@@ -2343,5 +2343,54 @@ def orders_grouping_sets(spark, sf_dir):
     """)
 
 
+_PACK_BUDGET = 512  # tokens per packed sequence (shared with the oracle SQL)
+
+
+@_register(
+    "doc_pack_sequences",
+    f"""
+    SELECT lang, CAST(bin_id AS INT) AS bin_id,
+           count(*) AS n_docs, sum(n_tokens) AS tokens
+    FROM (
+      SELECT lang, n_tokens,
+             CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM (
+        SELECT lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY n_tokens DESC, doc_id) AS cum
+        FROM (SELECT doc_id, lang, {tx.n_tokens_sql("text")} AS n_tokens
+              FROM documents)))
+    GROUP BY lang, bin_id
+    """,
+    tags="LLM training-data sequence packing: next-fit bin assignment over a "
+         "deterministic (tokens desc, id) order per language — per-bin fill stats",
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sample packing — assign documents to fixed-token-budget training
+    sequences: a next-fit pass over the deterministic (tokens desc, id)
+    order, bin = exclusive-prefix-sum // budget, so a document is never
+    split and each bin overflows by at most one document. Packing here
+    is windowed PER LANGUAGE (the natural packing domain); at 10^10
+    docs production packs within hash-shards instead — same window,
+    partitioned by (shard), identical fill quality in expectation and
+    no global sort anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tx.n_tokens(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.select(
+        "lang", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_PACK_BUDGET))
+        .alias("bin_id"),
+    )
+    return (
+        binned.groupBy("lang", F.col("bin_id").cast("int").alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens"))
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]
