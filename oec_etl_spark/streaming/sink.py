@@ -181,13 +181,24 @@ class ParquetSnapshotSink:
         self._record_file_stats(vdir)
 
     def _record_file_stats(self, vdir: str) -> None:
-        """Zone map: per-file min/max of ``ts`` (epoch µs), harvested
-        from the parquet footers just written — metadata-only, O(files)
-        driver work, no Spark job (the Iceberg manifest column-stats
-        analog). The sidecar lives INSIDE each bucket dir so it travels
-        with clone's per-bucket copy and dies with expiry/vacuum; purge
-        rewrites a bucket dir wholesale, which simply drops the sidecar
-        there (readers fall back to not pruning — always sound)."""
+        """Zone map: per-file min/max of ``ts`` (epoch µs) AND of the
+        ``conv_id`` key, harvested from the parquet footers just
+        written — metadata-only, O(files) driver work, no Spark job
+        (the Iceberg manifest column-stats analog). The sidecar lives
+        INSIDE each bucket dir so it travels with clone's per-bucket
+        copy and dies with expiry/vacuum; purge rewrites a bucket dir
+        wholesale, which simply drops the sidecar there (readers fall
+        back to not pruning — always sound).
+
+        The key range powers point-lookup file skipping WITHIN a
+        bucket: with sub-bucket write fan-out (files_per_bucket) a
+        conversation lands wholly in one file per write, and with
+        write_sorted the ranges are tight — either way a
+        ``lookup(conv_id)`` drops every file whose [key_min, key_max]
+        excludes the key. parquet-mr truncates long binary stats with
+        directional rounding (min prefix-truncated down, max
+        incremented), so the recorded range only ever widens — range
+        checks stay conservative."""
         import pyarrow.parquet as pq
 
         base = os.path.join(self.root, vdir)
@@ -216,7 +227,20 @@ class ParquetSnapshotSink:
                     mx = int(st.max.timestamp() * 1_000_000)
                     lo = mn if lo is None else min(lo, mn)
                     hi = mx if hi is None else max(hi, mx)
-                stats[fn] = {"ts_min": lo, "ts_max": hi, "rows": md.num_rows}
+                klo = khi = None
+                if "conv_id" in sch.names:
+                    ki = sch.get_field_index("conv_id")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ki).statistics
+                        if st is None or not st.has_min_max:
+                            klo = khi = None
+                            break
+                        mn = st.min.decode() if isinstance(st.min, bytes) else str(st.min)
+                        mx = st.max.decode() if isinstance(st.max, bytes) else str(st.max)
+                        klo = mn if klo is None else min(klo, mn)
+                        khi = mx if khi is None else max(khi, mx)
+                stats[fn] = {"ts_min": lo, "ts_max": hi, "rows": md.num_rows,
+                             "key_min": klo, "key_max": khi}
             tmp = os.path.join(bdir, FILESTATS + ".tmp")
             with open(tmp, "w") as f:
                 json.dump(stats, f)
@@ -1194,6 +1218,37 @@ class ParquetSnapshotSink:
                 kept.append(os.path.join(d, fn))
         return kept, total
 
+    def _key_pruned_files(self, dirs: list[str], key: str) -> tuple[list[str], int]:
+        """(kept file paths, total files): drop files whose key zone
+        map proves ``conv_id = key`` cannot occur in them. Pre-merge
+        key pruning is exact — a key's LWW winner can only come from a
+        file that contains the key, so files that provably lack it
+        contribute nothing to that key's reduce. Missing sidecar or
+        statless file → kept (conservative fallback, never wrong)."""
+        kept, total = [], 0
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            side: dict = {}
+            sp = os.path.join(d, FILESTATS)
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    side = json.load(f)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                st = side.get(fn)
+                if (
+                    st
+                    and st.get("key_min") is not None
+                    and st.get("key_max") is not None
+                    and not (st["key_min"] <= key <= st["key_max"])
+                ):
+                    continue
+                kept.append(os.path.join(d, fn))
+        return kept, total
+
     def zonemap_summary(self, version: int | None = None) -> dict:
         """Zone-map coverage of a snapshot, metadata-only (listing +
         sidecars, no data/footer reads): total data files, how many
@@ -1308,9 +1363,14 @@ class ParquetSnapshotSink:
 
     def lookup(self, conv_id: str, turn_idx: int | None = None) -> DataFrame:
         """Point query: live rows of ONE conversation, reading only its
-        hash bucket — O(table/n_buckets) scan instead of O(table). The
-        operational "fetch this transcript" path; at cluster scale this
-        is Iceberg bucket-transform partition pruning."""
+        hash bucket — O(table/n_buckets) scan instead of O(table) — and,
+        within that bucket, only the files whose key zone map admits the
+        key. With sub-bucket fan-out or sorted writes that is typically
+        ONE base file (plus any recent deltas), i.e. O(table /
+        (n_buckets × files_per_bucket)). At cluster scale this is
+        Iceberg bucket-transform partition pruning plus manifest
+        column-stats file skipping. The operational "fetch this
+        transcript" path."""
         man = self.load_manifest()
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
@@ -1322,7 +1382,23 @@ class ParquetSnapshotSink:
             .first()[0]
         )
         schema = T.StructType.fromJson(man["schema"])
-        df = self._read_current(man, schema, [b]).filter(F.col("conv_id") == conv_id)
+        store = storage_schema(schema)
+        dirty = b in {int(x) for x, dd in man.get("deltas", {}).items() if dd}
+        dirs = self._bucket_paths(man, [b])
+        if dirty:
+            dirs += self._delta_paths(man, [b])
+        files, _total = self._key_pruned_files(dirs, conv_id)
+        if not files:
+            df = self.spark.createDataFrame([], store)
+        elif dirty:
+            allrows = (
+                self.spark.read.schema(store).parquet(*files)
+                .withColumn("__file", F.xxhash64(F.input_file_name()))
+            )
+            df = lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file")).drop("__file")
+        else:
+            df = self.spark.read.schema(store).parquet(*files)
+        df = df.filter(F.col("conv_id") == conv_id)
         if turn_idx is not None:
             df = df.filter(F.col("turn_idx") == turn_idx)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])

@@ -210,3 +210,78 @@ def test_compact_ts_split_makes_base_prunable(spark, tmp_path):
     got = sink.scan_since(since)
     _same_rows(got, _expected(sink, since))
     assert len(got.inputFiles()) < total  # cold slices of the BASE pruned
+
+
+# ------------------------------------------------------- key zone maps
+def test_lookup_prunes_files_within_bucket(spark, tmp_path):
+    """Key zone maps: with sub-bucket write fan-out each conversation
+    lands wholly in one file, so a point lookup reads a strict subset
+    of its bucket's files — and still returns exactly the filtered
+    table."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=2, files_per_bucket=4
+    )
+    rows = [
+        _ev(f"c{i:03d}", t, seq=i * 100 + t, ts=_ts(1 + t % 2))
+        for i in range(64) for t in range(3)
+    ]
+    _merge(spark, sink, rows, 0)
+
+    conv = "c007"
+    got = sink.lookup(conv)
+    want = sink.read_table().filter(F.col("conv_id") == conv)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    read = got.inputFiles()
+    bucket = {f.split("__bucket=")[1].split("/")[0] for f in read}
+    assert len(bucket) == 1  # still one bucket
+    bdir = read[0].split("/part-")[0].replace("file:", "")
+    in_bucket = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    assert len(in_bucket) > 1  # fan-out actually made several files
+    assert len(read) < len(in_bucket)  # and the key zone map skipped some
+
+
+def test_lookup_prunes_mor_deltas_too(spark, tmp_path):
+    """A dirty bucket's lookup merges base ∪ deltas, but only the files
+    whose key range admits the key — a delta touching other
+    conversations is never opened."""
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=1, files_per_bucket=4, table_mode="mor"
+    )
+    rows = [
+        _ev(f"c{i:03d}", t, seq=i * 100 + t, ts=_ts(1))
+        for i in range(32) for t in range(2)
+    ]
+    _merge(spark, sink, rows, 0)
+    # second batch touches ONLY c001 (update) and c002 (delete)
+    _merge(spark, sink, [
+        _ev("c001", 0, seq=9000, ts=_ts(5), text="patched"),
+        _ev("c002", 0, seq=9001, ts=_ts(5), op="D"),
+    ], 1)
+
+    got = sink.lookup("c001")
+    want = sink.read_table().filter(F.col("conv_id") == "c001")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert {r["text"] for r in got.collect() if r["turn_idx"] == 0} == {"patched"}
+    # the tombstoned conversation is gone through the same path
+    assert sink.lookup("c002", 0).count() == 0
+
+    # a conversation batch 1 did NOT touch never opens batch 1's delta
+    # (in mor mode batch 0's rows live in the d000001 delta dir)
+    untouched = sink.lookup("c010")
+    assert untouched.count() == 2
+    assert not any("d000002" in f for f in untouched.inputFiles())
+
+
+def test_lookup_fallback_without_sidecars(spark, tmp_path):
+    sink = ParquetSnapshotSink(
+        spark, str(tmp_path / "t"), n_buckets=2, files_per_bucket=4
+    )
+    rows = [_ev(f"c{i:03d}", 0, seq=i, ts=_ts(1)) for i in range(32)]
+    _merge(spark, sink, rows, 0)
+    for dirpath, _dirs, files in os.walk(str(tmp_path / "t")):
+        for fn in files:
+            if fn == FILESTATS:
+                os.remove(os.path.join(dirpath, fn))
+    got = sink.lookup("c003")
+    assert got.count() == 1  # conservative: nothing pruned, still correct
