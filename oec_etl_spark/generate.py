@@ -56,6 +56,7 @@ class GeneratorConfig:
     max_turns: int = 12
     update_ratio: float = 0.8  # updates per insert
     delete_ratio: float = 0.05  # deletes per insert
+    patch_ratio: float = 0.0  # op='P' partial updates per insert (sets ONE column)
     duplicate_rate: float = 0.05  # fraction of events redelivered
     disorder_window: int = 50  # max positions an event may arrive early/late
     hot_frac: float = 0.5  # fraction of updates hitting hot convs
@@ -109,14 +110,20 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     del_pair = rng.integers(0, n_pairs, n_del)
     del_ts_us = ins_ts_us[del_pair] + rng.integers(1, 7_200_000_000, n_del)
 
+    # --- partial updates (op 'P': one column set, the rest unset) -----
+    n_pat = int(n_pairs * cfg.patch_ratio)
+    pat_pair = rng.integers(0, n_pairs, n_pat)
+    pat_ts_us = ins_ts_us[pat_pair] + rng.integers(1, 3_600_000_000, n_pat)
+
     # --- assemble, assign seq in commit (ts) order -------------------
-    pair = np.concatenate([ins_pair, upd_pair, del_pair])
-    ts_us = np.concatenate([ins_ts_us, upd_ts_us, del_ts_us])
+    pair = np.concatenate([ins_pair, upd_pair, del_pair, pat_pair])
+    ts_us = np.concatenate([ins_ts_us, upd_ts_us, del_ts_us, pat_ts_us])
     op = np.concatenate(
         [
             np.full(n_pairs, "I"),
             np.full(n_upd, "U"),
             np.full(n_del, "D"),
+            np.full(n_pat, "P"),
         ]
     )
     commit_order = np.argsort(ts_us, kind="stable")
@@ -145,9 +152,15 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     null_key = np.zeros(n_ev, dtype=bool)
     null_key[bad_idx[n_bad // 2 :]] = True  # null key
 
-    op_i = np.where(op == "I", 0, np.where(op == "U", 1, 2)).astype("int8")
+    op_i = np.where(
+        op == "I", 0, np.where(op == "U", 1, np.where(op == "D", 2, 4))
+    ).astype("int8")
     op_i[bad_op] = 3
-    _OP_LUT = pa.array(["I", "U", "D", "X"])
+    _OP_LUT = pa.array(["I", "U", "D", "X", "P"])
+    # each patch sets exactly ONE column: alternate text / role by seq
+    is_pat = op == "P"
+    pat_sets_text = is_pat & (seq % 2 == 0)
+    pat_sets_role = is_pat & ~pat_sets_text
     _ROLE_LUT = pa.array(list(_ROLES))
     _TOOL_LUT = pa.array(list(_TOOLS))
     _POOL_LUT = pa.array(list(pool))
@@ -169,10 +182,14 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
                     "conv-", pc.utf8_lpad(pc.cast(conv_pa, pa.string()), 8, "0"), ""
                 ),
             ),
-            "role": pc.if_else(del_m, _NULL_STR, pc.take(_ROLE_LUT, pa.array(role_idx[sel]))),
+            "role": pc.if_else(
+                pa.array(is_del[sel] | pat_sets_text[sel]),
+                _NULL_STR,
+                pc.take(_ROLE_LUT, pa.array(role_idx[sel])),
+            ),
             # suffix makes every (key, seq) text unique and byte-deterministic
             "text": pc.if_else(
-                del_m,
+                pa.array(is_del[sel] | pat_sets_role[sel]),
                 _NULL_STR,
                 pc.binary_join_element_wise(
                     pc.take(_POOL_LUT, pa.array(base_idx[sel])),
@@ -197,7 +214,7 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     epoch1_until = min(int(cfg.n_segments * cfg.epoch1_fraction), cfg.n_segments)
     _idx = min(int(n_ev * cfg.epoch1_fraction), n_ev)
     epoch_bound_seq = int(seq[_idx - 1]) if (epoch1_until and _idx > 0) else 0
-    tool_null = is_del | (role_idx != 3) | (seq <= epoch_bound_seq)
+    tool_null = is_del | is_pat | (role_idx != 3) | (seq <= epoch_bound_seq)
 
     # --- delivery order: bounded disorder + duplicates ------------------
     jitter = rng.integers(0, cfg.disorder_window + 1, n_ev)
@@ -264,6 +281,7 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
         "inserts": int(n_pairs),
         "updates": int(n_upd),
         "deletes": int(n_del),
+        "patches": int(n_pat),
         "duplicates": int(n_dup),
         "malformed": int(n_bad),
         "keys": int(n_pairs),

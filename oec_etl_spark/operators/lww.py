@@ -157,8 +157,92 @@ def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFr
 
     This is also the *oracle* shape used by the replay-equivalence
     tests (FIXTURES.md F5): trivially correct, auditable in one line.
-    """
+
+    Logs containing op='P' partial updates route through the
+    per-column combine instead (patches set only their non-null
+    columns; orphan patches vanish with their nonexistent key). Note
+    the batch-split caveat: one-shot materialization equals a
+    multi-batch replay only for logs whose full rows arrive in LWW
+    order relative to patches (see lww_patch_combine)."""
+    has_patches = not changes.filter(F.col("op") == "P").isEmpty()
+    if has_patches:
+        payload = [
+            c for c in changes.columns
+            if c not in ("op", "seq", "source_file", "offset")
+        ]
+        winners = lww_patch_combine(changes, payload_cols=payload, keys=keys)
+        alive = winners.filter(F.col("op").isNotNull() & (F.col("op") != F.lit("D")))
+        return alive.drop("op", "seq", "__n_patch")
     winners = lww_reduce(changes, keys=keys)
     alive = winners.filter(F.col("op") != F.lit("D"))
     drop = [c for c in ("op", "seq", "source_file", "offset") if c in alive.columns]
     return alive.drop(*drop)
+
+
+def lww_patch_combine(
+    union: DataFrame,
+    payload_cols: Sequence[str],
+    keys: Sequence[str] = KEY_COLUMNS,
+    order: Sequence[str] = ("ts", "seq"),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Column-level LWW for partial updates (op ``'P'``).
+
+    Semantics: a FULL row (I/U/D — including the stored row lifted back
+    into change shape) *defines every payload column*; a PATCH row
+    defines only the payload columns it carries non-null (a patch can
+    set, never null-out — Debezium-style partial images). Each column
+    independently takes the value of the latest defining row under
+    ``order``; row existence and the winning ``op``/``seq`` come from
+    full rows only, so patches never create or delete rows. When the
+    full-row winner is a delete, patch values are discarded (no
+    resurrection, and the tombstone's LWW position is not advanced).
+
+    This is still a per-column semilattice — idempotent, commutative,
+    associative — so redelivered patches are absorbed exactly like
+    redelivered full rows, and the aggregate gets map-side combine.
+
+    Output: one row per key with the final payload, ``op``/``seq`` of
+    the winner, ``__n_patch`` (patch rows seen for the key; for keys
+    with NO full row ``op`` is NULL — the caller drops and counts
+    these orphans). ``max_cols`` are carried through with max() (for
+    per-key constants like the bucket id, and for boolean flags where
+    any-true is wanted)."""
+    keys = list(keys)
+    order = [c for c in order if c in union.columns and c not in keys]
+    ord_all = F.struct(*[F.col(c) for c in order])
+    is_patch = F.col("op") == "P"
+    ord_full = F.when(is_patch, F.lit(None)).otherwise(ord_all)
+
+    aggs = [
+        F.max_by(F.col("op"), ord_full).alias("__op_full"),
+        F.max_by(F.col("seq"), ord_full).alias("__seq_full"),
+        F.max_by(F.col("seq"), ord_all).alias("__seq_all"),
+        F.sum(is_patch.cast("long")).alias("__n_patch"),
+    ]
+    for c in payload_cols:
+        if c in keys:
+            continue
+        ord_c = F.when(is_patch & F.col(c).isNull(), F.lit(None)).otherwise(ord_all)
+        aggs.append(F.max_by(F.col(c), ord_c).alias(f"__all_{c}"))
+        aggs.append(F.max_by(F.col(c), ord_full).alias(f"__full_{c}"))
+    for c in max_cols:
+        aggs.append(F.max(F.col(c)).alias(f"__max_{c}"))
+
+    g = union.groupBy(*keys).agg(*aggs)
+    dead = F.col("__op_full") == "D"
+    out_cols: list[F.Column] = [F.col(k) for k in keys]
+    for c in payload_cols:
+        if c in keys:
+            continue
+        out_cols.append(
+            F.when(dead, F.col(f"__full_{c}")).otherwise(F.col(f"__all_{c}")).alias(c)
+        )
+    out_cols.append(F.col("__op_full").alias("op"))
+    out_cols.append(
+        F.when(dead, F.col("__seq_full")).otherwise(F.col("__seq_all")).alias("seq")
+    )
+    out_cols.append(F.col("__n_patch"))
+    for c in max_cols:
+        out_cols.append(F.col(f"__max_{c}").alias(c))
+    return g.select(*out_cols)

@@ -32,7 +32,7 @@ from oec_etl_spark.schemas import CHANGE_SCHEMA
 from oec_etl_spark.streaming.lineage import BatchLineage, append_jsonl
 from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
-VALID_OPS = ("I", "U", "D")
+VALID_OPS = ("I", "U", "D", "P")
 
 
 def _any(cols) -> F.Column:
@@ -70,8 +70,11 @@ def quarantine_split(
     the row (SQL CHECK semantics would admit NULL; a data gate must
     not let an unparseable row through on a technicality). Deletes
     are exempt from constraints: a tombstone carries NULL payload by
-    design and must not be blocked by payload rules. One codegen'd
-    CASE over one scan — no per-rule passes."""
+    design and must not be blocked by payload rules. Patches (op 'P')
+    carry only the columns they set, so for them a NULL predicate is
+    TOLERATED (the rule touches a column the patch doesn't carry) and
+    only a definite FALSE rejects. One codegen'd CASE over one scan —
+    no per-rule passes."""
     ok = (
         F.col("op").isin(*VALID_OPS)
         & F.col("conv_id").isNotNull()
@@ -80,7 +83,11 @@ def quarantine_split(
     )
     reason = F.when(~ok, F.lit("malformed"))
     for name, pred in (constraints or {}).items():
-        viol = (F.col("op") != "D") & ~F.coalesce(F.expr(pred), F.lit(False))
+        viol = (
+            F.when(F.col("op") == "D", F.lit(False))
+            .when(F.col("op") == "P", ~F.coalesce(F.expr(pred), F.lit(True)))
+            .otherwise(~F.coalesce(F.expr(pred), F.lit(False)))
+        )
         reason = reason.when(viol, F.lit(name))
     df = df.withColumn("__reject", reason)
     return (

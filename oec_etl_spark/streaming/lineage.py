@@ -27,6 +27,10 @@ class BatchLineage:
     rows_applied: int = 0  # batch winners that became the stored row
     rows_stale: int = 0  # batch winners that lost to the existing row
     rows_deleted: int = 0  # tombstones now current
+    rows_patch: int = 0  # op='P' partial-update rows in the batch
+    # patch rows discarded: key unknown to the table (orphan) or its
+    # full-row winner is a delete (no resurrection by patch)
+    rows_patch_dropped: int = 0
     seq_min: int | None = None
     seq_max: int | None = None
     source_files: list[str] = field(default_factory=list)

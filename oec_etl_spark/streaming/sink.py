@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oec_etl_spark.operators.bucketing import with_bucket
-from oec_etl_spark.operators.lww import lww_reduce, lww_reduce_hash
+from oec_etl_spark.operators.lww import lww_patch_combine, lww_reduce, lww_reduce_hash
 from oec_etl_spark.schemas import (
     KEY_COLUMNS,
     ORDER_COLUMNS,
@@ -1463,6 +1463,7 @@ class ParquetSnapshotSink:
             # rows whose lineage columns can't serve as a row-unique
             # tiebreak (see strategy fallback below)
             F.max((F.col("source_file").isNull() | F.col("offset").isNull()).cast("int")).alias("norid"),
+            F.sum((F.col("op") == "P").cast("long")).alias("np"),
         ).cache()
         per_bucket = bc.groupBy(META_BUCKET).agg(
             F.sum("cnt").alias("rows"),
@@ -1470,6 +1471,7 @@ class ParquetSnapshotSink:
             F.min("lo").alias("lo"),
             F.max("hi").alias("wm"),
             F.max("norid").alias("norid"),
+            F.sum("np").alias("np"),
         ).collect()
         rec.rows_in_batch = int(sum(r["rows"] for r in per_bucket))
         rec.distinct_keys = int(sum(r["keys"] for r in per_bucket))
@@ -1533,6 +1535,12 @@ class ParquetSnapshotSink:
             .withColumn(_UO, F.coalesce(F.col("offset"), F.lit(0)))
         )
         cols = [*KEY_COLUMNS, *[c_ for c_ in payload_cols if c_ not in KEY_COLUMNS], "op", "seq", _FROM_BATCH, _TIE, _UF, _UO, META_BUCKET]
+        # Partial updates (op 'P') are resolved in a SEPARATE per-column
+        # combine over the patched keys only (below); the main full-row
+        # reduce must never see them — a patch is not a full image.
+        has_patches = any(r["np"] for r in per_bucket)
+        rec.rows_patch = int(sum(r["np"] for r in per_bucket))
+        batch_full = batch_side.filter(F.col("op") != "P") if has_patches else batch_side
         if self.table_mode == "mor":
             # Merge-on-read: reduce the batch alone and append its
             # winners as a DELTA — never reads or rewrites stored data,
@@ -1540,14 +1548,14 @@ class ParquetSnapshotSink:
             # buckets). Conflict resolution is deferred to read time /
             # compaction (_read_current). The update-heavy micro-batch
             # regime at 10^10 events runs this mode + periodic compact().
-            union = batch_side.select(*cols)
+            union = batch_full.select(*cols)
         else:
             old = (
                 self._read_stored_as_changes(man, evolved, affected)
                 .withColumn(_UF, F.lit(0).cast("long"))
                 .withColumn(_UO, F.lit(0).cast("long"))
             )
-            union = batch_side.select(*cols).unionByName(old.select(*cols))
+            union = batch_full.select(*cols).unionByName(old.select(*cols))
         # The hash strategy's winner semi-join needs a row-unique order
         # tuple: redeliveries of one event must differ in (source_file,
         # offset), else BOTH physical copies match the winner and the
@@ -1565,6 +1573,65 @@ class ParquetSnapshotSink:
             )
         else:
             merged = lww_reduce(union, order=("ts", "seq", _TIE), salt=salt, hot_ids=hot_ids)
+        out_cols = [*KEY_COLUMNS, *[c_ for c_ in payload_cols if c_ not in KEY_COLUMNS],
+                    "op", "seq", _FROM_BATCH, META_BUCKET]
+        merged = merged.select(*out_cols)
+
+        if has_patches:
+            # -- column-level partial updates (op 'P') -------------------
+            # Per-column LWW over (patches ∪ the patched keys' full rows):
+            # a patch sets only its non-null columns; full rows define
+            # everything; existence comes from full rows only. The combine
+            # is O(patched keys): stored rows are fetched for the PATCHED
+            # buckets only and semi-joined down to the patched keys — in
+            # mor mode this is the one read patches pay, since an
+            # unresolved patch must never be appended as if it were a
+            # full delta image. localCheckpoint materializes the (small)
+            # result once so the stats pass and the write don't recompute.
+            patches = batch_side.filter(F.col("op") == "P").select(*cols)
+            pkeys = patches.select(*KEY_COLUMNS).distinct()
+            patched_buckets = sorted(int(r[META_BUCKET]) for r in per_bucket if r["np"])
+            stored_p = (
+                self._read_stored_as_changes(man, evolved, patched_buckets)
+                .withColumn(_UF, F.lit(0).cast("long"))
+                .withColumn(_UO, F.lit(0).cast("long"))
+                .select(*cols)
+                .join(pkeys, on=list(KEY_COLUMNS), how="left_semi")
+            )
+            cin = patches.unionByName(
+                batch_full.select(*cols).join(pkeys, on=list(KEY_COLUMNS), how="left_semi")
+            ).unionByName(stored_p)
+            combined = lww_patch_combine(
+                cin,
+                payload_cols=payload_cols,
+                order=("ts", "seq", _TIE, _UF, _UO),
+                max_cols=(_FROM_BATCH, META_BUCKET),
+            ).localCheckpoint()
+            pstat = combined.agg(
+                F.sum(
+                    F.when(F.col("op").isNull() | (F.col("op") == "D"), F.col("__n_patch"))
+                ).alias("dropped")
+            ).first()
+            rec.rows_patch_dropped = int(pstat["dropped"] or 0)
+            live = combined.filter(F.col("op").isNotNull()).select(*out_cols)
+            if rec.rows_patch == rec.rows_in_batch and live.isEmpty():
+                # Every batch row was an orphan patch: table state is
+                # unchanged, so commit metadata only (epoch guard +
+                # watermarks) — no write. Also sidesteps writing an
+                # empty plan, whose observe node the optimizer prunes.
+                man["version"] += 1
+                man["committed_batches"].append(batch_id)
+                if man["schema"] is None:
+                    man["schema"] = evolved.jsonValue()
+                for r in per_bucket:
+                    b = str(int(r[META_BUCKET]))
+                    man["watermarks"][b] = max(int(man["watermarks"].get(b, 0)), int(r["wm"]))
+                rec.watermarks = {str(int(r[META_BUCKET])): int(man["watermarks"][str(int(r[META_BUCKET]))]) for r in per_bucket}
+                rec.wall_sec = time.time() - t0
+                man["lineage"].append(rec.to_dict())
+                self._commit(man)
+                return rec
+            merged = merged.join(pkeys, on=list(KEY_COLUMNS), how="left_anti").unionByName(live)
 
         obs2 = Observation()
         merged = merged.observe(
@@ -1601,6 +1668,12 @@ class ParquetSnapshotSink:
         man["committed_batches"].append(batch_id)
         man.setdefault("deltas", {})
         for b in affected:
+            # A bucket every one of whose batch rows was dropped (orphan
+            # patches on a bucket with nothing stored) produces NO output
+            # dir — pointing the manifest at it would break readers, so
+            # keep the previous pointer (or none) in that case.
+            if not os.path.isdir(os.path.join(self.root, vdir, f"{META_BUCKET}={b}")):
+                continue
             if self.table_mode == "mor":
                 man["deltas"].setdefault(str(b), []).append(vdir)
             else:
@@ -1679,6 +1752,45 @@ def iceberg_merge_sql(
         f"    WHEN MATCHED AND s.op = 'D' AND {guard} THEN DELETE\n"
         f"    WHEN MATCHED AND {guard} THEN UPDATE SET *\n"
         f"    WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *"
+    )
+
+
+def iceberg_patch_merge_sql(
+    table: str,
+    source_view: str = "_cdc_patches",
+    keys: tuple[str, ...] = KEY_COLUMNS,
+    payload: tuple[str, ...] = ("role", "text", "tool"),
+) -> str:
+    """Second-pass MERGE applying column-level partial updates (op 'P')
+    after the full-row MERGE of the same batch.
+
+    The source view carries ONE pre-combined patch image per key (the
+    Spark-side ``lww_patch_combine`` over the batch's patches alone):
+    for every payload column ``c`` both the value ``c`` and its
+    defining order ``c_ord: struct<ts, seq>`` (NULL when no patch in
+    the batch set ``c``), plus row-level ``ts``/``seq`` = the newest
+    patch. Each column updates only when ITS definer beats the stored
+    row's (ts, __seq) — per-column LWW, so a column whose patch is
+    older than the row keeps the stored value even when another column
+    of the same key patches successfully. No NOT MATCHED clause:
+    orphan patches never insert, and a patch racing a same-batch
+    delete finds no row (pass one already removed it) — exactly the
+    snapshot sink's drop semantics."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    row_guard = f"struct(s.ts, s.seq) >= struct(t.ts, t.{META_SEQ})"
+    sets = [
+        f"t.{c} = CASE WHEN s.{c}_ord IS NOT NULL AND "
+        f"s.{c}_ord >= struct(t.ts, t.{META_SEQ}) THEN s.{c} ELSE t.{c} END"
+        for c in payload
+    ]
+    sets.append(f"t.ts = CASE WHEN {row_guard} THEN s.ts ELSE t.ts END")
+    sets.append(f"t.{META_SEQ} = CASE WHEN {row_guard} THEN s.seq ELSE t.{META_SEQ} END")
+    set_sql = ",\n        ".join(sets)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s\n"
+        f"    ON {on}\n"
+        f"    WHEN MATCHED THEN UPDATE SET\n"
+        f"        {set_sql}"
     )
 
 

@@ -111,3 +111,29 @@ def test_evolve_sql_parses_as_valid_spark_sql(spark):
     )
     for sql in iceberg_evolve_sql("db.t", current, evolved):
         spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+
+def test_patch_merge_sql_text():
+    from oec_etl_spark.streaming.sink import iceberg_patch_merge_sql
+
+    sql = iceberg_patch_merge_sql("lake.db.transcripts")
+    assert "MERGE INTO lake.db.transcripts t USING _cdc_patches s" in sql
+    assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
+    # per-column LWW: each column updates only when ITS definer beats
+    # the stored row — NOT when the row-level patch image does
+    for c in ("role", "text", "tool"):
+        frag = (f"t.{c} = CASE WHEN s.{c}_ord IS NOT NULL AND "
+                f"s.{c}_ord >= struct(t.ts, t.__seq) THEN s.{c} ELSE t.{c} END")
+        assert frag in sql
+    # the row's LWW position advances with the newest patch
+    assert "t.ts = CASE WHEN struct(s.ts, s.seq) >= struct(t.ts, t.__seq) THEN s.ts ELSE t.ts END" in sql
+    assert "t.__seq = CASE WHEN struct(s.ts, s.seq) >= struct(t.ts, t.__seq) THEN s.seq ELSE t.__seq END" in sql
+    # patches never create rows: no NOT MATCHED clause at all
+    assert "NOT MATCHED" not in sql
+
+
+def test_patch_merge_sql_parses_as_valid_spark_sql(spark):
+    from oec_etl_spark.streaming.sink import iceberg_patch_merge_sql
+
+    sql = iceberg_patch_merge_sql("db.t")
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
