@@ -441,6 +441,7 @@ def cmd_describe(spark, args) -> int:
         "tags": sink.tags() or None,
         "cursors": cursors(sink) or None,
         "zonemap": sink.zonemap_summary(),
+        "truncate_ts_us": man.get("truncate_ts_us"),
     }))
     return 0
 
@@ -618,6 +619,23 @@ def cmd_update(spark, args) -> int:
     return 0
 
 
+def cmd_truncate(spark, args) -> int:
+    """TRUNCATE (event-time horizon): O(1) metadata commit — every row
+    with ts <= --before is dead, stored data untouched until the next
+    compaction reclaims it; late stragglers under the horizon are
+    dropped at merge time. NULL-ts rows are retained."""
+    import datetime
+
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets,
+                               table_mode=args.table_mode)
+    rec = sink.truncate_before(datetime.datetime.fromisoformat(args.before))
+    print(json.dumps({"truncate_ts_us": rec.truncate_ts_us, "batch_id": rec.batch_id,
+                      "version": sink.load_manifest()["version"]}))
+    return 0
+
+
 def cmd_rename_column(spark, args) -> int:
     """ALTER TABLE RENAME COLUMN (head-state rewrite; old snapshots
     keep the old name, the change stream's payload names do not
@@ -665,7 +683,7 @@ def main(argv: list[str] | None = None) -> int:
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
                  "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
-                 "delete", "update", "requeue",
+                 "delete", "update", "truncate", "requeue",
                  "branch", "branches", "drop-branch", "audit", "publish"):
         sp = sub.add_parser(name)
         if name in ("branch", "drop-branch", "publish"):
@@ -793,7 +811,12 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("delete", "update"):
             sp.add_argument("--where", required=True,
                             help="SQL predicate over the table's columns")
+        if name in ("delete", "update", "truncate"):
             sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
+        if name == "truncate":
+            sp.add_argument("--before", required=True, metavar="ISO_TS",
+                            help="event-time horizon: rows with ts <= this die "
+                                 "(metadata-only; space reclaimed at compaction)")
         if name == "update":
             sp.add_argument("--set", action="append", required=True,
                             metavar="NAME=SQL_EXPR",
@@ -862,6 +885,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_delete(spark, args)
         if args.cmd == "update":
             return cmd_update(spark, args)
+        if args.cmd == "truncate":
+            return cmd_truncate(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
         if args.cmd == "changelog":

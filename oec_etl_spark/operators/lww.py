@@ -31,6 +31,11 @@ from oec_etl_spark.schemas import KEY_COLUMNS, ORDER_COLUMNS
 
 
 _SALT = "__salt"
+# LWW rank: 0 = snapshot-read bootstrap (op 'R'), 1 = streamed change.
+# Leading the order tuple, it makes ANY streamed row (and any stored
+# row, which was streamed once) beat a snapshot read regardless of ts —
+# the Debezium incremental-snapshot rule: reads fill gaps, never race.
+_RANK = "__rank"
 
 
 def lww_reduce(
@@ -163,19 +168,38 @@ def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFr
     columns; orphan patches vanish with their nonexistent key). Note
     the batch-split caveat: one-shot materialization equals a
     multi-batch replay only for logs whose full rows arrive in LWW
-    order relative to patches (see lww_patch_combine)."""
-    has_patches = not changes.filter(F.col("op") == "P").isEmpty()
-    if has_patches:
+    order relative to patches (see lww_patch_combine).
+
+    op='T' (table truncate) rows define a horizon — max ts over the
+    truncate events — and every row with ts <= horizon is dead; rows
+    with NULL ts are kept (no ordering evidence, same stance as
+    tombstone expiry). op='R' (snapshot-read bootstrap) rows rank
+    BELOW every streamed row in the LWW order: a snapshot read
+    creates a key that nothing else defines but never overwrites or
+    outranks streamed data, however its ts compares."""
+    present = {
+        r["op"] for r in changes.select("op").distinct().collect() if r["op"]
+    }
+    base, order = changes, ORDER_COLUMNS
+    if "T" in present:
+        hi = base.filter(F.col("op") == "T").agg(F.max("ts")).first()[0]
+        base = base.filter(F.col("op") != "T")
+        if hi is not None:
+            base = base.filter(F.col("ts").isNull() | (F.col("ts") > F.lit(hi)))
+    if "R" in present:
+        base = base.withColumn(_RANK, (F.col("op") != "R").cast("int"))
+        order = (_RANK, *ORDER_COLUMNS)
+    if "P" in present:
         payload = [
-            c for c in changes.columns
-            if c not in ("op", "seq", "source_file", "offset")
+            c for c in base.columns
+            if c not in ("op", "seq", "source_file", "offset", _RANK)
         ]
-        winners = lww_patch_combine(changes, payload_cols=payload, keys=keys)
+        winners = lww_patch_combine(base, payload_cols=payload, keys=keys, order=order)
         alive = winners.filter(F.col("op").isNotNull() & (F.col("op") != F.lit("D")))
         return alive.drop("op", "seq", "__n_patch")
-    winners = lww_reduce(changes, keys=keys)
+    winners = lww_reduce(base, keys=keys, order=order)
     alive = winners.filter(F.col("op") != F.lit("D"))
-    drop = [c for c in ("op", "seq", "source_file", "offset") if c in alive.columns]
+    drop = [c for c in ("op", "seq", "source_file", "offset", _RANK) if c in alive.columns]
     return alive.drop(*drop)
 
 

@@ -32,7 +32,7 @@ from oec_etl_spark.schemas import CHANGE_SCHEMA
 from oec_etl_spark.streaming.lineage import BatchLineage, append_jsonl
 from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
-VALID_OPS = ("I", "U", "D", "P")
+VALID_OPS = ("I", "U", "D", "P", "R", "T")
 
 
 def _any(cols) -> F.Column:
@@ -73,18 +73,22 @@ def quarantine_split(
     design and must not be blocked by payload rules. Patches (op 'P')
     carry only the columns they set, so for them a NULL predicate is
     TOLERATED (the rule touches a column the patch doesn't carry) and
-    only a definite FALSE rejects. One codegen'd CASE over one scan —
-    no per-rule passes."""
-    ok = (
-        F.col("op").isin(*VALID_OPS)
-        & F.col("conv_id").isNotNull()
+    only a definite FALSE rejects. Truncates (op 'T') are table-wide:
+    they carry no key and no payload, so the envelope requires only a
+    non-null ts (the horizon) and constraints are exempt as for
+    deletes. Snapshot reads (op 'R') are full rows and face the full
+    gate. One codegen'd CASE over one scan — no per-rule passes."""
+    ok = F.col("op").isin(*VALID_OPS) & F.when(
+        F.col("op") == "T", F.col("ts").isNotNull() & F.col("seq").isNotNull()
+    ).otherwise(
+        F.col("conv_id").isNotNull()
         & F.col("turn_idx").isNotNull()
         & F.col("seq").isNotNull()
     )
     reason = F.when(~ok, F.lit("malformed"))
     for name, pred in (constraints or {}).items():
         viol = (
-            F.when(F.col("op") == "D", F.lit(False))
+            F.when(F.col("op").isin("D", "T"), F.lit(False))
             .when(F.col("op") == "P", ~F.coalesce(F.expr(pred), F.lit(True)))
             .otherwise(~F.coalesce(F.expr(pred), F.lit(False)))
         )

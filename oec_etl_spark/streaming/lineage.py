@@ -31,6 +31,14 @@ class BatchLineage:
     # patch rows discarded: key unknown to the table (orphan) or its
     # full-row winner is a delete (no resurrection by patch)
     rows_patch_dropped: int = 0
+    rows_snapshot: int = 0  # op='R' snapshot-read bootstrap rows in the batch
+    # R keys that became rows (were absent); the rest lost to existing
+    # data — a snapshot read never overwrites anything
+    rows_snapshot_applied: int = 0
+    rows_truncate_events: int = 0  # op='T' rows in the batch
+    # table truncate horizon (epoch µs) in force after this commit;
+    # rows with ts <= horizon are dead regardless of arrival time
+    truncate_ts_us: int | None = None
     seq_min: int | None = None
     seq_max: int | None = None
     source_files: list[str] = field(default_factory=list)

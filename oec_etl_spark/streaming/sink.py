@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oec_etl_spark.operators.bucketing import with_bucket
-from oec_etl_spark.operators.lww import lww_patch_combine, lww_reduce, lww_reduce_hash
+from oec_etl_spark.operators.lww import _RANK, lww_patch_combine, lww_reduce, lww_reduce_hash
 from oec_etl_spark.schemas import (
     KEY_COLUMNS,
     ORDER_COLUMNS,
@@ -218,15 +218,18 @@ class ParquetSnapshotSink:
                     continue
                 ci = sch.get_field_index("ts")
                 lo = hi = None
+                nn: int | None = 0  # NULL ts rows (None = unknown → no claim)
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics
                     if st is None or not st.has_min_max:
-                        lo = hi = None
+                        lo = hi = nn = None
                         break  # INT96/statless chunk: no claim for this file
                     mn = int(st.min.timestamp() * 1_000_000)
                     mx = int(st.max.timestamp() * 1_000_000)
                     lo = mn if lo is None else min(lo, mn)
                     hi = mx if hi is None else max(hi, mx)
+                    if nn is not None:
+                        nn = None if st.null_count is None else nn + int(st.null_count)
                 klo = khi = None
                 if "conv_id" in sch.names:
                     ki = sch.get_field_index("conv_id")
@@ -239,8 +242,8 @@ class ParquetSnapshotSink:
                         mx = st.max.decode() if isinstance(st.max, bytes) else str(st.max)
                         klo = mn if klo is None else min(klo, mn)
                         khi = mx if khi is None else max(khi, mx)
-                stats[fn] = {"ts_min": lo, "ts_max": hi, "rows": md.num_rows,
-                             "key_min": klo, "key_max": khi}
+                stats[fn] = {"ts_min": lo, "ts_max": hi, "ts_nulls": nn,
+                             "rows": md.num_rows, "key_min": klo, "key_max": khi}
             tmp = os.path.join(bdir, FILESTATS + ".tmp")
             with open(tmp, "w") as f:
                 json.dump(stats, f)
@@ -519,7 +522,12 @@ class ParquetSnapshotSink:
         self._write_store(store, vdir, ts_split=max(1, int(ts_split_files)))
         man["version"] = new_version
         for b in chosen:
-            man["buckets"][str(b)] = vdir
+            # A bucket whose every row was reclaimed (truncate horizon /
+            # tombstone expiry) writes no output dir; keep the previous
+            # pointer — the read-path filters already hide those rows —
+            # rather than pointing readers at a missing path.
+            if os.path.isdir(os.path.join(self.root, vdir, f"{META_BUCKET}={b}")):
+                man["buckets"][str(b)] = vdir
             man["deltas"][str(b)] = []
         self._commit(man)
         return chosen
@@ -616,6 +624,33 @@ class ParquetSnapshotSink:
             (F.col(META_SEQ) + 1).alias("seq"),
             F.lit("dml:delete_where").alias("source_file"),
             F.monotonically_increasing_id().alias("offset"),
+        )
+        return self.merge(changes, batch_id=self._dml_batch_id() if batch_id is None else batch_id)
+
+    def truncate_before(self, ts, batch_id: int | None = None) -> BatchLineage:
+        """TRUNCATE analog, O(1) metadata: every row (stored or yet to
+        arrive) with ``ts <= horizon`` is dead as of this commit. No
+        data file is touched — the read path filters and zone-map-prunes
+        against the manifest horizon, late stragglers under it are
+        dropped at merge time, and the next compaction physically
+        reclaims the space. Expressed THROUGH the merge as a synthetic
+        op='T' event, so the epoch guard, lineage and watermark
+        invariants hold unchanged; rolling back to an earlier snapshot
+        restores that snapshot's (smaller or absent) horizon. NULL-ts
+        rows are retained — no ordering evidence, the same stance as
+        tombstone expiry."""
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        schema = T.StructType.fromJson(man["schema"])
+        changes = self.spark.range(1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in schema.fields if f.name != "ts"],
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit("T").alias("op"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("dml:truncate").alias("source_file"),
+            F.lit(0).cast("long").alias("offset"),
         )
         return self.merge(changes, batch_id=self._dml_batch_id() if batch_id is None else batch_id)
 
@@ -1153,8 +1188,18 @@ class ParquetSnapshotSink:
         pay the merge shuffle; clean buckets' base files are read
         straight through and unioned in. In the steady state —
         compaction keeps most buckets clean — a read shuffles only the
-        recently-touched slice of the table instead of all of it."""
+        recently-touched slice of the table instead of all of it.
+
+        A committed truncate horizon (op 'T' / ``truncate_before``) is
+        enforced here for every consumer: rows with ``ts <= horizon``
+        are filtered out (NULL ts kept — no ordering evidence), and
+        files whose zone map proves every row is at/under the horizon
+        are dropped from the listing (sound pre-merge for the same
+        lower-bound reason as ``scan_since``). Until a compaction
+        physically reclaims the space, a truncated table reads as empty
+        at the cost of a metadata commit — never an O(table) rewrite."""
         store = storage_schema(schema)
+        trunc_us = int(man.get("truncate_ts_us") or 0)
         dirty = {int(b) for b, dd in man.get("deltas", {}).items() if dd}
         if buckets is not None:
             dirty &= set(buckets)
@@ -1163,22 +1208,32 @@ class ParquetSnapshotSink:
                          [int(x) for x in man.get("buckets", {})]) if b not in dirty]
         )
         base_clean = self._bucket_paths(man, clean_buckets)
+        if trunc_us:
+            base_clean, _ = self._pruned_files(base_clean, trunc_us + 1, keep_null_ts=True)
         parts: list[DataFrame] = []
         if base_clean:
             parts.append(self.spark.read.schema(store).parquet(*base_clean))
         if dirty:
             dl = sorted(dirty)
-            allrows = (
-                self.spark.read.schema(store)
-                .parquet(*self._bucket_paths(man, dl), *self._delta_paths(man, dl))
-                .withColumn("__file", F.xxhash64(F.input_file_name()))
-            )
-            parts.append(lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file")).drop("__file"))
+            dirty_src = self._bucket_paths(man, dl) + self._delta_paths(man, dl)
+            if trunc_us:
+                dirty_src, _ = self._pruned_files(dirty_src, trunc_us + 1, keep_null_ts=True)
+            if dirty_src:
+                allrows = (
+                    self.spark.read.schema(store)
+                    .parquet(*dirty_src)
+                    .withColumn("__file", F.xxhash64(F.input_file_name()))
+                )
+                parts.append(lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file")).drop("__file"))
         if not parts:
             return self.spark.createDataFrame([], store)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if trunc_us:
+            out = out.filter(
+                F.col("ts").isNull() | (F.col("ts") > F.timestamp_micros(F.lit(trunc_us)))
+            )
         return out
 
     def read_table(self, version: int | None = None) -> DataFrame:
@@ -1195,10 +1250,16 @@ class ParquetSnapshotSink:
         df = self._read_current(man, schema)
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
-    def _pruned_files(self, dirs: list[str], since_us: int) -> tuple[list[str], int]:
+    def _pruned_files(
+        self, dirs: list[str], since_us: int, keep_null_ts: bool = False
+    ) -> tuple[list[str], int]:
         """(kept file paths, total files): drop files whose zone map
         proves every row is older than the horizon. Missing sidecar or
-        statless file → kept (conservative fallback, never wrong)."""
+        statless file → kept (conservative fallback, never wrong).
+        ``keep_null_ts`` also keeps a too-old file unless its stats
+        prove it holds zero NULL-ts rows — required by consumers that
+        retain NULL-ts rows (the truncate filter); a ``ts >= since``
+        scan discards them anyway and can prune harder."""
         kept, total = [], 0
         for d in dirs:
             if not os.path.isdir(d):
@@ -1213,7 +1274,12 @@ class ParquetSnapshotSink:
                     continue
                 total += 1
                 st = side.get(fn)
-                if st and st.get("ts_max") is not None and st["ts_max"] < since_us:
+                if (
+                    st
+                    and st.get("ts_max") is not None
+                    and st["ts_max"] < since_us
+                    and not (keep_null_ts and st.get("ts_nulls") != 0)
+                ):
                     continue
                 kept.append(os.path.join(d, fn))
         return kept, total
@@ -1311,6 +1377,10 @@ class ParquetSnapshotSink:
         if version is None:
             self._sync_layout(man)
         since_us = _epoch_micros(since)
+        # a committed truncate horizon only tightens the scan: ts > tr
+        # ⟺ ts >= tr+1µs (µs-precision storage), and this scan's
+        # ts >= since filter discards NULL-ts rows regardless
+        since_us = max(since_us, int(man.get("truncate_ts_us") or 0) + 1)
         schema = T.StructType.fromJson(man["schema"])
         store = storage_schema(schema)
         dirty = sorted(int(b) for b, dd in man.get("deltas", {}).items() if dd)
@@ -1401,6 +1471,11 @@ class ParquetSnapshotSink:
         df = df.filter(F.col("conv_id") == conv_id)
         if turn_idx is not None:
             df = df.filter(F.col("turn_idx") == turn_idx)
+        tr = int(man.get("truncate_ts_us") or 0)
+        if tr:
+            df = df.filter(
+                F.col("ts").isNull() | (F.col("ts") > F.timestamp_micros(F.lit(tr)))
+            )
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
     def _read_stored_as_changes(self, man: dict, schema: T.StructType, buckets: list[int]) -> DataFrame:
@@ -1464,6 +1539,9 @@ class ParquetSnapshotSink:
             # tiebreak (see strategy fallback below)
             F.max((F.col("source_file").isNull() | F.col("offset").isNull()).cast("int")).alias("norid"),
             F.sum((F.col("op") == "P").cast("long")).alias("np"),
+            F.sum((F.col("op") == "R").cast("long")).alias("nr"),
+            F.sum((F.col("op") == "T").cast("long")).alias("nt"),
+            F.max(F.when(F.col("op") == "T", F.col("ts"))).alias("thi"),
         ).cache()
         per_bucket = bc.groupBy(META_BUCKET).agg(
             F.sum("cnt").alias("rows"),
@@ -1472,6 +1550,9 @@ class ParquetSnapshotSink:
             F.max("hi").alias("wm"),
             F.max("norid").alias("norid"),
             F.sum("np").alias("np"),
+            F.sum("nr").alias("nr"),
+            F.sum("nt").alias("nt"),
+            F.max("thi").alias("thi"),
         ).collect()
         rec.rows_in_batch = int(sum(r["rows"] for r in per_bucket))
         rec.distinct_keys = int(sum(r["keys"] for r in per_bucket))
@@ -1480,10 +1561,29 @@ class ParquetSnapshotSink:
         affected = sorted(int(r[META_BUCKET]) for r in per_bucket)
         rec.affected_buckets = affected
 
+        # -- table truncate horizon (op 'T', O(1) metadata) --------------
+        # The horizon is the max over this batch's truncate events and
+        # whatever the manifest already holds; rows (batch OR stored)
+        # with ts <= horizon are dead. Stored data is never rewritten
+        # here — the read path filters (and zone-map-prunes) against the
+        # manifest value, and the next compaction reclaims the space.
+        # Setting it on `man` NOW means every stored read below is
+        # already horizon-filtered. Late arrivals predating the horizon
+        # are dropped at the batch filter, however late they come.
+        rec.rows_truncate_events = int(sum(r["nt"] for r in per_bucket))
+        rec.rows_snapshot = int(sum(r["nr"] for r in per_bucket))
+        batch_thi = [r["thi"] for r in per_bucket if r["thi"] is not None]
+        trunc_us = int(man.get("truncate_ts_us") or 0)
+        if batch_thi:
+            trunc_us = max(trunc_us, _epoch_micros(max(batch_thi)))
+        if trunc_us:
+            man["truncate_ts_us"] = trunc_us
+            rec.truncate_ts_us = trunc_us
+
         if self.profile and affected:
             prof_cols = [c_ for c_ in payload_cols if c_ not in KEY_COLUMNS]
             prof = (
-                cb.filter(F.col("op") != "D")  # tombstone payload is NULL by design
+                cb.filter(~F.col("op").isin("D", "T"))  # tombstone/truncate payload is NULL by design
                 .agg(*[F.sum(F.col(c_).isNull().cast("long")).alias(c_) for c_ in prof_cols])
                 .first()
             )
@@ -1493,7 +1593,11 @@ class ParquetSnapshotSink:
         if self.hot_key_threshold is not None and rec.rows_in_batch:
             thr = self.hot_key_threshold * rec.rows_in_batch
             hot = (
-                bc.groupBy("conv_id").agg(F.sum("cnt").alias("cnt"))
+                # NULL conv_id (op='T' truncate rows) must never reach
+                # hot_ids: a NULL inside isin() makes BOTH branches of
+                # the skew split evaluate NULL and silently drop rows
+                bc.filter(F.col("conv_id").isNotNull())
+                .groupBy("conv_id").agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") > thr)
                 .select("conv_id", "cnt", F.round(F.col("cnt") / F.lit(rec.rows_in_batch), 6).alias("frac"))
                 .collect()
@@ -1535,12 +1639,30 @@ class ParquetSnapshotSink:
             .withColumn(_UO, F.coalesce(F.col("offset"), F.lit(0)))
         )
         cols = [*KEY_COLUMNS, *[c_ for c_ in payload_cols if c_ not in KEY_COLUMNS], "op", "seq", _FROM_BATCH, _TIE, _UF, _UO, META_BUCKET]
+        # Rows dead under the truncate horizon never enter the merge —
+        # that kills the batch's own pre-horizon rows AND any straggler
+        # arriving after the truncate committed. NULL-ts rows are kept
+        # (no ordering evidence — same stance as tombstone expiry).
+        if trunc_us:
+            batch_side = batch_side.filter(
+                F.col("ts").isNull()
+                | (F.col("ts") > F.timestamp_micros(F.lit(trunc_us)))
+            )
         # Partial updates (op 'P') are resolved in a SEPARATE per-column
         # combine over the patched keys only (below); the main full-row
         # reduce must never see them — a patch is not a full image.
+        # Snapshot reads (op 'R') likewise get their own rank-aware
+        # combine (a snapshot read must never outrank streamed data),
+        # and truncate events (op 'T') are pure metadata.
         has_patches = any(r["np"] for r in per_bucket)
         rec.rows_patch = int(sum(r["np"] for r in per_bucket))
-        batch_full = batch_side.filter(F.col("op") != "P") if has_patches else batch_side
+        has_snapshot = any(r["nr"] for r in per_bucket)
+        special = [op_ for op_, f_ in (("P", has_patches), ("R", has_snapshot),
+                                       ("T", rec.rows_truncate_events)) if f_]
+        batch_full = batch_side.filter(~F.col("op").isin(special)) if special else batch_side
+        specials_only = (
+            rec.rows_patch + rec.rows_snapshot + rec.rows_truncate_events
+        ) == rec.rows_in_batch
         if self.table_mode == "mor":
             # Merge-on-read: reduce the batch alone and append its
             # winners as a DELTA — never reads or rewrites stored data,
@@ -1577,6 +1699,46 @@ class ParquetSnapshotSink:
                     "op", "seq", _FROM_BATCH, META_BUCKET]
         merged = merged.select(*out_cols)
 
+        r_live = None
+        if has_snapshot:
+            # -- snapshot-read bootstrap (op 'R') ------------------------
+            # Debezium initial/incremental-snapshot rule: a read fills a
+            # gap, it never races streamed data. Implemented as an LWW
+            # reduce whose order LEADS with a rank bit (stream/stored=1,
+            # snapshot=0) over (R rows ∪ the R keys' batch full rows ∪
+            # the R keys' stored rows): an R key survives only when
+            # nothing else defines it, however its ts compares. The
+            # stored fetch is O(R-keyed buckets) semi-joined to the R
+            # keys — the one read a bootstrap pays in mor mode; on the
+            # canonical empty-table initial load it reads nothing.
+            rrows = batch_side.filter(F.col("op") == "R")
+            rkeys = rrows.select(*KEY_COLUMNS).distinct()
+            r_buckets = sorted(int(r[META_BUCKET]) for r in per_bucket if r["nr"])
+            stored_r = (
+                self._read_stored_as_changes(man, evolved, r_buckets)
+                .withColumn(_UF, F.lit(0).cast("long"))
+                .withColumn(_UO, F.lit(0).cast("long"))
+                .select(*cols)
+                .join(rkeys, on=list(KEY_COLUMNS), how="left_semi")
+            )
+            runion = (
+                rrows.select(*cols).withColumn(_RANK, F.lit(0))
+                .unionByName(
+                    batch_full.select(*cols)
+                    .join(rkeys, on=list(KEY_COLUMNS), how="left_semi")
+                    .withColumn(_RANK, F.lit(1))
+                )
+                .unionByName(stored_r.withColumn(_RANK, F.lit(1)))
+            )
+            rwin = lww_reduce(runion, order=(_RANK, "ts", "seq", _TIE, _UF, _UO))
+            r_live = rwin.filter(F.col("op") == "R").select(*out_cols)
+            if has_patches or specials_only:
+                # consumed more than once below (merged union + patch
+                # combine and/or the metadata-only emptiness probe): pin
+                # the result so the stored read and rank reduce run once
+                r_live = r_live.localCheckpoint()
+            merged = merged.unionByName(r_live)
+
         if has_patches:
             # -- column-level partial updates (op 'P') -------------------
             # Per-column LWW over (patches ∪ the patched keys' full rows):
@@ -1600,11 +1762,23 @@ class ParquetSnapshotSink:
             )
             cin = patches.unionByName(
                 batch_full.select(*cols).join(pkeys, on=list(KEY_COLUMNS), how="left_semi")
-            ).unionByName(stored_p)
+            ).unionByName(stored_p).withColumn(_RANK, F.lit(1))
+            if r_live is not None:
+                # R-bootstrapped keys ARE defined rows for their patches
+                # (rank 0: any streamed patch beats the snapshot image,
+                # however its ts compares)
+                cin = cin.unionByName(
+                    r_live.join(pkeys, on=list(KEY_COLUMNS), how="left_semi")
+                    .withColumn(_TIE, F.lit(0))
+                    .withColumn(_UF, F.lit(0).cast("long"))
+                    .withColumn(_UO, F.lit(0).cast("long"))
+                    .select(*cols)
+                    .withColumn(_RANK, F.lit(0))
+                )
             combined = lww_patch_combine(
                 cin,
                 payload_cols=payload_cols,
-                order=("ts", "seq", _TIE, _UF, _UO),
+                order=(_RANK, "ts", "seq", _TIE, _UF, _UO),
                 max_cols=(_FROM_BATCH, META_BUCKET),
             ).localCheckpoint()
             pstat = combined.agg(
@@ -1614,23 +1788,29 @@ class ParquetSnapshotSink:
             ).first()
             rec.rows_patch_dropped = int(pstat["dropped"] or 0)
             live = combined.filter(F.col("op").isNotNull()).select(*out_cols)
-            if rec.rows_patch == rec.rows_in_batch and live.isEmpty():
-                # Every batch row was an orphan patch: table state is
-                # unchanged, so commit metadata only (epoch guard +
-                # watermarks) — no write. Also sidesteps writing an
-                # empty plan, whose observe node the optimizer prunes.
-                man["version"] += 1
-                man["committed_batches"].append(batch_id)
-                if man["schema"] is None:
-                    man["schema"] = evolved.jsonValue()
-                for r in per_bucket:
-                    b = str(int(r[META_BUCKET]))
-                    man["watermarks"][b] = max(int(man["watermarks"].get(b, 0)), int(r["wm"]))
-                rec.watermarks = {str(int(r[META_BUCKET])): int(man["watermarks"][str(int(r[META_BUCKET]))]) for r in per_bucket}
-                rec.wall_sec = time.time() - t0
-                man["lineage"].append(rec.to_dict())
-                self._commit(man)
-                return rec
+
+        if specials_only and (not has_patches or live.isEmpty()) and (
+            r_live is None or r_live.isEmpty()
+        ):
+            # Nothing in this batch can change stored data — it was all
+            # orphan/dead patches, snapshot reads of already-present
+            # keys, and/or truncate events (pure metadata). Commit
+            # metadata only (epoch guard + watermarks + truncate
+            # horizon) — no write. Also sidesteps writing an empty
+            # plan, whose observe node the optimizer prunes.
+            man["version"] += 1
+            man["committed_batches"].append(batch_id)
+            if man["schema"] is None:
+                man["schema"] = evolved.jsonValue()
+            for r in per_bucket:
+                b = str(int(r[META_BUCKET]))
+                man["watermarks"][b] = max(int(man["watermarks"].get(b, 0)), int(r["wm"]))
+            rec.watermarks = {str(int(r[META_BUCKET])): int(man["watermarks"][str(int(r[META_BUCKET]))]) for r in per_bucket}
+            rec.wall_sec = time.time() - t0
+            man["lineage"].append(rec.to_dict())
+            self._commit(man)
+            return rec
+        if has_patches:
             merged = merged.join(pkeys, on=list(KEY_COLUMNS), how="left_anti").unionByName(live)
 
         obs2 = Observation()
@@ -1639,6 +1819,7 @@ class ParquetSnapshotSink:
             F.count(F.lit(1)).alias("rows_current"),
             F.sum(F.col(_FROM_BATCH).cast("long")).alias("applied"),
             F.sum((F.col("op") == "D").cast("long")).alias("tombstones"),
+            F.sum((F.col("op") == "R").cast("long")).alias("snap_applied"),
         )
         store = merged.select(
             *payload_cols,
@@ -1661,6 +1842,7 @@ class ParquetSnapshotSink:
         rec.rows_applied = int(mstats["applied"] or 0)
         rec.rows_stale = rec.distinct_keys - rec.rows_applied
         rec.rows_deleted = int(mstats["tombstones"] or 0)
+        rec.rows_snapshot_applied = int(mstats["snap_applied"] or 0)
 
         # -- commit: manifest version bump + atomic pointer swap ---------
         man["version"] = new_version
@@ -1791,6 +1973,47 @@ def iceberg_patch_merge_sql(
         f"    ON {on}\n"
         f"    WHEN MATCHED THEN UPDATE SET\n"
         f"        {set_sql}"
+    )
+
+
+def iceberg_snapshot_merge_sql(
+    table: str,
+    source_view: str = "_cdc_snapshot",
+    keys: tuple[str, ...] = KEY_COLUMNS,
+    payload: tuple[str, ...] = ("role", "text", "tool"),
+) -> str:
+    """MERGE applying op='R' snapshot-read bootstrap rows (Debezium
+    initial/incremental snapshot): insert-if-absent ONLY. There is
+    deliberately no WHEN MATCHED clause — a snapshot read fills gaps
+    and never overwrites streamed or previously-snapshotted data,
+    whatever its ts says — the SQL twin of the snapshot sink's rank-0
+    LWW position for R rows."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    cols = [*keys, *payload, "ts", META_SEQ]
+    vals = [*(f"s.{k}" for k in keys), *(f"s.{c}" for c in payload), "s.ts", "s.seq"]
+    return (
+        f"MERGE INTO {table} t USING {source_view} s\n"
+        f"    ON {on}\n"
+        f"    WHEN NOT MATCHED THEN INSERT ({', '.join(cols)})\n"
+        f"    VALUES ({', '.join(vals)})"
+    )
+
+
+def iceberg_truncate_sql(table: str, horizon_us: int) -> str:
+    """The op='T' table truncate as Iceberg SQL: a predicate DELETE on
+    the event-time horizon (Iceberg turns it into metadata deletes for
+    files wholly under the horizon — the same zone-map reasoning the
+    snapshot sink applies). NULL-ts rows are retained, matching the
+    engine (no ordering evidence to truncate on)."""
+    import datetime as _dt
+
+    iso = (
+        _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        + _dt.timedelta(microseconds=int(horizon_us))
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    return (
+        f"DELETE FROM {table}\n"
+        f"    WHERE ts IS NOT NULL AND ts <= TIMESTAMP '{iso}+00:00'"
     )
 
 

@@ -137,3 +137,37 @@ def test_patch_merge_sql_parses_as_valid_spark_sql(spark):
 
     sql = iceberg_patch_merge_sql("db.t")
     spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+
+def test_snapshot_merge_sql_text():
+    from oec_etl_spark.streaming.sink import iceberg_snapshot_merge_sql
+
+    sql = iceberg_snapshot_merge_sql("lake.db.transcripts")
+    assert "MERGE INTO lake.db.transcripts t USING _cdc_snapshot s" in sql
+    assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
+    # insert-if-absent ONLY: a snapshot read must never overwrite
+    # streamed data, so there is no WHEN MATCHED clause at all
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    assert "WHEN MATCHED" not in sql
+    assert "UPDATE" not in sql and "DELETE" not in sql
+
+
+def test_truncate_sql_text():
+    from oec_etl_spark.streaming.sink import iceberg_truncate_sql
+
+    # horizon: 2024-01-01T05:00:00 UTC in epoch µs
+    sql = iceberg_truncate_sql("lake.db.transcripts", 1704085200000000)
+    assert "DELETE FROM lake.db.transcripts" in sql
+    # NULL-ts rows retained (no ordering evidence), boundary inclusive
+    assert "ts IS NOT NULL AND ts <= TIMESTAMP '2024-01-01 05:00:00.000000+00:00'" in sql
+
+
+def test_snapshot_and_truncate_sql_parse_as_valid_spark_sql(spark):
+    from oec_etl_spark.streaming.sink import (
+        iceberg_snapshot_merge_sql,
+        iceberg_truncate_sql,
+    )
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(iceberg_snapshot_merge_sql("db.t"))
+    parser.parsePlan(iceberg_truncate_sql("db.t", 1704085200000000))
