@@ -32,14 +32,17 @@ idempotent command surface::
         rename-column --target DIR --from C --to C2
         delete    --target DIR --where SQL       # predicate DML via the merge
         update    --target DIR --where SQL --set COL=EXPR ...
+        truncate  --target DIR --before ISO_TS   # O(1) event-time horizon
         requeue   --quarantine DIR --changes DIR [--reason NAME]
                                                  # drain the DLQ back into the stream
         stats     --target DIR                   # ops rollup (+--profile nulls)
 
     replay/resume/tail also take: --files-per-bucket K (write fan-out),
     --derive NAME=SQL (pre-merge transforms), --constraint NAME=PRED,
-    --profile (per-batch null counts), --table-mode cow|mor, --branch B;
-    stream-static enrichment (`enrich:`) is a pipeline-spec/API knob.
+    --profile (per-batch null counts), --table-mode cow|mor, --branch B,
+    --transactional [--tx-timeout-batches N] (atomic multi-event
+    transactions via Debezium tx metadata); stream-static enrichment
+    (`enrich:`) is a pipeline-spec/API knob.
 
 `replay` and `resume` are deliberately the same code path — restarting
 the streaming query against the same checkpointLocation continues from
@@ -75,6 +78,8 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         constraints=_name_sql_pairs(args, "constraint"),
         derives=_name_sql_pairs(args, "derive"),
         profile=args.profile,
+        transactional=args.transactional,
+        tx_timeout_batches=args.tx_timeout_batches,
     )
 
 
@@ -137,6 +142,24 @@ def cmd_verify(spark, args) -> int:
     # read via format().load() exactly as run_replay does, so a
     # json-format change log verifies instead of reading zero files
     raw = spark.read.schema(CHANGE_SCHEMA).format(args.format).load(args.changes)
+    if args.transactional:
+        # a transactional replay applies only COMPLETE transactions —
+        # the oracle must gate identically or held rows read as a diff
+        from pyspark.sql import functions as F
+
+        from oec_etl_spark.schemas import CHANGE_SCHEMA_TX
+
+        tx = spark.read.schema(CHANGE_SCHEMA_TX).format(args.format).load(args.changes)
+        ok = (
+            tx.filter(F.col("tx_id").isNotNull())
+            .groupBy("tx_id")
+            .agg((F.countDistinct("seq") >= F.max("tx_total")).alias("__ok"))
+        )
+        raw = (
+            tx.join(ok, "tx_id", "left")
+            .filter(F.col("tx_id").isNull() | F.col("__ok"))
+            .select(*[f.name for f in CHANGE_SCHEMA.fields])
+        )
     valid, _ = quarantine_split(raw)
     oracle = materialize(valid)
     cols = sorted(table.columns)
@@ -765,6 +788,15 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--profile", action="store_true",
                             help="record per-batch payload NULL counts in "
                                  "lineage (one extra aggregate per batch)")
+            sp.add_argument("--tx-timeout-batches", type=int, default=None,
+                            help="DLQ a transaction still incomplete this "
+                                 "many batches after its first event "
+                                 "(reason tx_timeout); default: hold forever")
+        if name in ("replay", "resume", "tail", "verify"):
+            sp.add_argument("--transactional", action="store_true",
+                            help="apply (or, for verify, oracle) multi-event "
+                                 "transactions atomically: only complete txs "
+                                 "count (Debezium transaction metadata)")
         if name == "tail":
             sp.add_argument("--interval", default=None, help="processingTime trigger, e.g. '5 seconds'")
             sp.add_argument("--for-seconds", type=int, default=None, help="stop after N seconds (default: run forever)")

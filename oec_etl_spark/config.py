@@ -68,6 +68,22 @@ class EngineConfig:
     # the watermark is dropped as late (standard watermark semantics).
     # Null-ts events bypass dedup and flow to the merge untouched.
     dedup_watermark: str | None = None
+    # Transaction-boundary gate (Debezium transaction-metadata analog):
+    # when True the stream is read with CHANGE_SCHEMA_TX (tx_id,
+    # tx_total appended; non-transactional segments read them as NULL =
+    # autocommit) and a transaction's events are applied ATOMICALLY —
+    # held in a per-batch state store under target_dir/_tx_state until
+    # countDistinct(seq) reaches tx_total, so no snapshot ever shows a
+    # torn transaction even when its events straddle micro-batches.
+    # Released tx ids are remembered for tx_ledger_batches batches so
+    # at-least-once redeliveries of released events flow straight to
+    # the idempotent merge instead of forming ghost incomplete txs.
+    transactional: bool = False
+    # Expire a transaction still incomplete this many batches after its
+    # first event arrived: its fragment goes to the DLQ with reason
+    # 'tx_timeout' (never force-applied torn). None = hold forever.
+    tx_timeout_batches: int | None = None
+    tx_ledger_batches: int = 32
     # Change-stream fan-out (Debezium-style table routing): name →
     # boolean SQL predicate over the change columns. Each route merges
     # into its own snapshot table under ``target_dir/<name>``, each with

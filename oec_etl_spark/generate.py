@@ -67,6 +67,14 @@ class GeneratorConfig:
     malformed_rate: float = 0.0
     text_pool: int = 512  # distinct base sentences
     file_format: str = "parquet"  # segment format: parquet | json (ndjson)
+    # Transaction metadata (Debezium transaction-topic analog, inlined):
+    # tx_rate = fraction of events grouped into multi-event transactions
+    # (contiguous in commit/seq order — a source transaction owns one
+    # LSN range); each tx carries tx_id + tx_total on every event.
+    # Events outside transactions have NULL tx columns (autocommit).
+    # 0.0 = the columns are not written at all (wire format unchanged).
+    tx_rate: float = 0.0
+    tx_max_events: int = 5
 
 
 def _texts(rng: np.random.Generator, n: int, pool: int) -> np.ndarray:
@@ -130,6 +138,30 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     pair, ts_us, op = pair[commit_order], ts_us[commit_order], op[commit_order]
     n_ev = pair.size
     seq = np.arange(1, n_ev + 1, dtype="int64")
+
+    # --- transaction grouping (contiguous in commit order) -------------
+    # gid per event (-1 = autocommit); tx_of/tx_tot consumed at segment
+    # write time. Delivery disorder + segment splits then scatter a
+    # transaction's events across micro-batches — exactly the straddle
+    # the engine's TxnGate must reassemble.
+    tx_of = np.full(n_ev, -1, dtype="int64")
+    tx_tot = np.zeros(n_ev, dtype="int32")
+    n_tx_events = n_txs = 0
+    if cfg.tx_rate > 0:
+        in_tx = rng.random(n_ev) < cfg.tx_rate
+        idx = np.arange(n_ev)
+        run_start = in_tx & ~np.concatenate([[False], in_tx[:-1]])
+        run_idx = np.cumsum(run_start)  # constant within a run
+        start_pos = np.maximum.accumulate(np.where(run_start, idx, 0))
+        block = (idx - start_pos) // max(cfg.tx_max_events, 2)
+        gid = np.where(in_tx, run_idx * 100_000 + block, -1)
+        _, inv, cnt = np.unique(gid, return_inverse=True, return_counts=True)
+        keep = in_tx & (cnt[inv] >= 2)  # singleton "transactions" = autocommit
+        tx_of = np.where(keep, gid, -1)
+        _, inv2, cnt2 = np.unique(tx_of, return_inverse=True, return_counts=True)
+        tx_tot = np.where(keep, cnt2[inv2], 0).astype("int32")
+        n_tx_events = int(keep.sum())
+        n_txs = int(np.unique(tx_of[keep]).size)
 
     # --- payload (vectorized in Arrow — a 60M-event log builds in C,
     # not in 60M Python f-strings; measured 6M-event gen 33.7 s → see
@@ -262,12 +294,24 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
             pa.array([fname]), pa.array(np.zeros(sel.size, dtype="int64"))
         )
         cols["offset"] = pa.array(np.arange(sel.size, dtype="int64"))
+        if cfg.tx_rate > 0:
+            g = tx_of[sel]
+            auto = g < 0
+            cols["tx_id"] = pc.if_else(
+                pa.array(auto), _NULL_STR,
+                pc.binary_join_element_wise(
+                    "tx-", pc.cast(pa.array(g), pa.string()), ""
+                ),
+            )
+            cols["tx_total"] = pa.array(tx_tot[sel], pa.int32(), mask=auto)
         table = pa.table(cols)
         if ext == "json":
             # ndjson binlog segments (the wire format a Debezium-style
             # tail would deliver); ts as ISO-8601 micros for Spark's
             # JSON reader under the explicit CHANGE_SCHEMA.
-            pdf = table.to_pandas()
+            # integer_object_nulls keeps nullable int columns (tx_total)
+            # as Python ints, not floats, in the JSON text.
+            pdf = table.to_pandas(integer_object_nulls=True)
             pdf["ts"] = pdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
             pdf.to_json(
                 os.path.join(cfg.out_dir, fname), orient="records", lines=True, date_format="iso"
@@ -284,6 +328,8 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
         "patches": int(n_pat),
         "duplicates": int(n_dup),
         "malformed": int(n_bad),
+        "tx_events": n_tx_events,
+        "transactions": n_txs,
         "keys": int(n_pairs),
         "segments": cfg.n_segments,
         "config": asdict(cfg),

@@ -56,6 +56,19 @@ def change_schema(payload: T.StructType = TRANSCRIPT_SCHEMA) -> T.StructType:
 CHANGE_SCHEMA = change_schema()
 CHANGE_SCHEMA_V1 = change_schema(TRANSCRIPT_SCHEMA_V1)
 
+# Transaction-boundary metadata (Debezium transaction topic analog,
+# inlined on the event): tx_id groups the events of one source-database
+# transaction; tx_total is the transaction's event count, stamped by
+# the binlog writer which knows the commit boundary. NULL tx_id =
+# autocommit. Appended AFTER the lineage fields so segments written
+# without them (every non-transactional log) read as NULL under this
+# schema — the transactional reader is backward compatible.
+TX_FIELDS = [
+    T.StructField("tx_id", T.StringType(), True),
+    T.StructField("tx_total", T.IntegerType(), True),
+]
+CHANGE_SCHEMA_TX = T.StructType(list(CHANGE_SCHEMA.fields) + list(TX_FIELDS))
+
 # Internal columns the snapshot sink stores alongside the payload so the
 # merge stays a semilattice (idempotent, commutative, associative):
 # the winning writer's (ts, seq) and a tombstone flag.

@@ -195,12 +195,31 @@ def _build_query(
         sink = mk_sink(cfg.target_dir, branch=cfg.branch)
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
     enricher = build_enricher(spark, cfg.enrich)  # dim loads + verifies once
+    txn_gate = None
+    if cfg.transactional:
+        from oec_etl_spark.streaming.txn import TxnGate
+
+        txn_gate = TxnGate(
+            spark, f"{cfg.target_dir}/_tx_state",
+            timeout_batches=cfg.tx_timeout_batches,
+            ledger_batches=cfg.tx_ledger_batches,
+        )
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if fail_after_batches is not None and len(lineages) >= fail_after_batches:
             raise RuntimeError("injected failure (test hook)")
+        txstats = None
+        if txn_gate is not None:
+            # atomic-transaction gate FIRST: completeness is a transport
+            # property, so held rows face the content gate (quarantine /
+            # constraints / derives) when released, exactly once
+            bdf, tx_expired, txstats = txn_gate.apply(bdf, batch_id)
         valid, bad = quarantine_split(bdf, cfg.constraints)
         valid = enricher(apply_derives(valid, cfg.derives))
+        if txstats is not None and txstats.rows_tx_expired:
+            bad = bad.unionByName(
+                tx_expired.withColumn("__reject", F.lit("tx_timeout"))
+            )
         n_bad = 0
         if cfg.quarantine_dir is not None:
             bad = bad.cache()
@@ -208,6 +227,15 @@ def _build_query(
             if n_bad:
                 bad.write.mode("append").parquet(cfg.quarantine_dir)
             bad.unpersist()
+
+        def stamp_tx(rec: BatchLineage) -> BatchLineage:
+            if txstats is not None:
+                rec.rows_tx = txstats.rows_tx
+                rec.rows_tx_held = txstats.rows_tx_held
+                rec.txs_pending = txstats.txs_pending
+                rec.rows_tx_expired = txstats.rows_tx_expired
+                rec.txs_released = txstats.txs_released
+            return rec
         def housekeep(s: ParquetSnapshotSink) -> list[int]:
             # mor housekeeping: fold a bucket's deltas into its base once
             # the read-amplification bound is hit (Iceberg's
@@ -256,16 +284,22 @@ def _build_query(
                     if fail_after_batches is not None and len(lineages) >= fail_after_batches:
                         raise RuntimeError("injected failure (test hook, mid-batch)")
                     pred = preds.get(name, rest)
-                    rec = sinks[name].merge(valid.filter(pred), batch_id, quarantined=n_bad)
+                    rec = stamp_tx(sinks[name].merge(valid.filter(pred), batch_id, quarantined=n_bad))
                     rec.route = name
                     rec.compacted_buckets = housekeep(sinks[name])
                     lineages.append(rec)
                     append_jsonl(lineage_path, rec.to_dict())
             finally:
                 valid.unpersist()
+                if txn_gate is not None:
+                    txn_gate.finish()
             housekeep_source()
             return
-        rec = sink.merge(valid, batch_id, quarantined=n_bad)
+        try:
+            rec = stamp_tx(sink.merge(valid, batch_id, quarantined=n_bad))
+        finally:
+            if txn_gate is not None:
+                txn_gate.finish()
         rec.compacted_buckets = housekeep(sink)
         if cfg.mviews:
             # keep declared downstream aggregates current in the same
@@ -284,7 +318,12 @@ def _build_query(
         housekeep_source()
 
     src_path, src_format = _resolve_source(cfg)
-    reader = spark.readStream.schema(CHANGE_SCHEMA).format(src_format)
+    read_schema = CHANGE_SCHEMA
+    if cfg.transactional:
+        from oec_etl_spark.schemas import CHANGE_SCHEMA_TX
+
+        read_schema = CHANGE_SCHEMA_TX  # absent tx columns read as NULL = autocommit
+    reader = spark.readStream.schema(read_schema).format(src_format)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
     stream = reader.load(src_path)
@@ -408,6 +447,18 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)
+    if cfg.transactional:
+        # one-shot apply: the whole log is one batch, so a transaction
+        # can only be incomplete if the LOG is (truncated tail); gate it
+        # the same way the stream would at batch 0
+        from oec_etl_spark.schemas import CHANGE_SCHEMA_TX
+        from oec_etl_spark.streaming.txn import TxnGate
+
+        df = spark.read.schema(CHANGE_SCHEMA_TX).format(src_format).load(src_path)
+        gate = TxnGate(spark, f"{cfg.target_dir}/_tx_state",
+                       timeout_batches=cfg.tx_timeout_batches,
+                       ledger_batches=cfg.tx_ledger_batches)
+        df, _expired, _ = gate.apply(df, 0)
     valid, bad = quarantine_split(df, cfg.constraints)
     valid = build_enricher(spark, cfg.enrich)(apply_derives(valid, cfg.derives))
     n_bad = 0

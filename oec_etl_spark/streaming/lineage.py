@@ -36,6 +36,13 @@ class BatchLineage:
     # data — a snapshot read never overwrites anything
     rows_snapshot_applied: int = 0
     rows_truncate_events: int = 0  # op='T' rows in the batch
+    # transaction gate (EngineConfig.transactional) — batch-scoped, so
+    # identical across a fan-out batch's route records:
+    rows_tx: int = 0  # tx-carrying rows that arrived in this batch
+    rows_tx_held: int = 0  # rows pending (incomplete txs) after this batch
+    txs_pending: int = 0  # distinct incomplete transactions held
+    rows_tx_expired: int = 0  # rows DLQ'd as tx_timeout this batch
+    txs_released: int = 0  # transactions whose hold ended this batch
     # table truncate horizon (epoch µs) in force after this commit;
     # rows with ts <= horizon are dead regardless of arrival time
     truncate_ts_us: int | None = None
