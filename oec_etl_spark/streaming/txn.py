@@ -117,32 +117,56 @@ class TxnGate:
         return sorted(out)
 
     def _read_state(self, batch_id: int, row_schema: T.StructType):
-        """(pending rows, ledger) as of AFTER ``batch_id`` (empty DFs
-        when no state exists). ``row_schema`` = batch schema + _FIRST."""
+        """(pending, ledger, pending_exists, ledger_exists) as of AFTER
+        ``batch_id``. A missing side was written empty — the caller uses
+        the flags to SKIP the union/join entirely (an empty local
+        relation unioned into a parquet scan breaks whole-stage codegen
+        and costs ~1s per consume at bench scale, measured)."""
         d = os.path.join(self.state_dir, f"batch-{batch_id}")
         pend_d, ledg_d = os.path.join(d, "pending"), os.path.join(d, "ledger")
+        has_p, has_l = os.path.isdir(pend_d), os.path.isdir(ledg_d)
         pend = (
             self.spark.read.schema(row_schema).parquet(pend_d)
-            if os.path.isdir(pend_d)
+            if has_p
             else self.spark.createDataFrame([], row_schema)
         )
         ledg = (
             self.spark.read.schema(_LEDGER_SCHEMA).parquet(ledg_d)
-            if os.path.isdir(ledg_d)
+            if has_l
             else self.spark.createDataFrame([], _LEDGER_SCHEMA)
         )
-        return pend, ledg
+        return pend, ledg, has_p, has_l
 
-    def _write_state(self, batch_id: int, pending: DataFrame, ledger: DataFrame) -> None:
-        """Atomic: materialize under batch-<id>.tmp, then one rename."""
-        tmp = os.path.join(self.state_dir, f"batch-{batch_id}.tmp")
+    def _write_state(
+        self,
+        batch_id: int,
+        pending: DataFrame | None,
+        ledger: DataFrame | None,
+    ) -> None:
+        """Atomic: materialize under batch-<id>.tmp, then one rename.
+        ``None`` = statically-known-empty side: nothing is written, and
+        ``_read_state`` reports it absent. ``repartition(1)`` (not
+        coalesce) keeps the upstream aggregation parallel — coalesce
+        propagates the 1-partition constraint into the groupBy itself."""
+        tmp = self._tmp_dir(batch_id)
         final = os.path.join(self.state_dir, f"batch-{batch_id}")
-        shutil.rmtree(tmp, ignore_errors=True)
         # state is tiny by design (in-flight txs + ledger) — one file each
-        pending.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "pending"))
-        ledger.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "ledger"))
+        if pending is not None:
+            pending.repartition(1).write.mode("overwrite").parquet(os.path.join(tmp, "pending"))
+        if ledger is not None:
+            ledger.repartition(1).write.mode("overwrite").parquet(os.path.join(tmp, "ledger"))
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+
+    def _tmp_dir(self, batch_id: int) -> str:
+        """The in-progress state dir for this batch (created on first
+        use, wiped by ``apply``'s crash-recovery preamble). The verdict
+        is spilled here BEFORE pending/ledger so all downstream reads
+        hit the one materialized tiny file instead of re-running the
+        aggregation; the atomic rename publishes everything together."""
+        tmp = os.path.join(self.state_dir, f"batch-{batch_id}.tmp")
+        os.makedirs(tmp, exist_ok=True)
+        return tmp
 
     # -------------------------------------------------------------- gate
     def apply(self, bdf: DataFrame, batch_id: int) -> tuple[DataFrame, DataFrame, TxnStats]:
@@ -156,51 +180,66 @@ class TxnGate:
             list(bdf.schema.fields) + [T.StructField(_FIRST, T.LongType(), False)]
         )
         ids = self._state_ids()
+        # a crashed attempt may have left a partial tmp dir for this id
+        shutil.rmtree(os.path.join(self.state_dir, f"batch-{batch_id}.tmp"), ignore_errors=True)
         # crashed-attempt state at/above this id is stale: recompute
         # deterministically from the previous batch's state
         for i in ids:
             if i >= batch_id:
                 shutil.rmtree(os.path.join(self.state_dir, f"batch-{i}"), ignore_errors=True)
+                shutil.rmtree(os.path.join(self.state_dir, f"verdict-{i}"), ignore_errors=True)
         prev = max((i for i in ids if i < batch_id), default=None)
         # GC unreachable history: the stream advanced past `prev`, so
         # anything older can never be the recompute base again
         for i in ids:
             if prev is not None and i < prev:
                 shutil.rmtree(os.path.join(self.state_dir, f"batch-{i}"), ignore_errors=True)
+                shutil.rmtree(os.path.join(self.state_dir, f"verdict-{i}"), ignore_errors=True)
         if prev is not None:
-            pending, ledger = self._read_state(prev, row_schema)
+            pending, ledger, has_pending, has_ledger = self._read_state(prev, row_schema)
         else:
             pending = self.spark.createDataFrame([], row_schema)
             ledger = self.spark.createDataFrame([], _LEDGER_SCHEMA)
+            has_pending = has_ledger = False
 
         plain = [c for c in bdf.columns if c not in TX_COLUMNS]
         auto = bdf.filter(F.col("tx_id").isNull()).select(*plain)
-        cur = (
-            bdf.filter(F.col("tx_id").isNotNull())
-            .withColumn(_FIRST, F.lit(batch_id).cast("long"))
-            .unionByName(pending)
-            .cache()
-        )
-        stats.rows_tx = cur.filter(F.col(_FIRST) == batch_id).count()  # also pins the cache
-        if stats.rows_tx == 0 and pending.isEmpty():
-            # pure-autocommit batch with no carried state: nothing to do
-            # beyond rolling the state forward (ledger ages out)
-            ledger = ledger.filter(
-                F.col("released_batch") >= F.lit(batch_id - self.ledger_batches)
-            )
-            self._write_state(batch_id, cur.limit(0), ledger)
-            cur.unpersist()
-            empty = bdf.limit(0).select(*plain)
-            return auto, empty, stats
-        self._cached.append(cur)
 
         # -- per-transaction verdict (slim aggregate) ---------------------
+        # The verdict needs only (tx_id, seq, tx_total, first_batch) —
+        # NEVER the payload — so the scan that feeds it is a pruned
+        # 4-column read (parquet column pruning keeps the text bytes on
+        # disk) and the only thing cached is the per-tx verdict itself.
+        # Full rows are touched again solely on the rare incomplete-tx
+        # path below. One shuffle of (tx_id → 4 longs); everything
+        # downstream keys off the NOT-complete side, which is small by
+        # design (in-flight txs straddling a batch boundary), so it
+        # broadcasts and the hot path — every row of the batch — stays
+        # one scan + one broadcast-hash lookup.
+        slim_cols = ["tx_id", "seq", "tx_total", _FIRST]
+        slim = (
+            bdf.filter(F.col("tx_id").isNotNull())
+            .withColumn(_FIRST, F.lit(batch_id).cast("long"))
+            .select(*slim_cols)
+        )
+        if has_pending:
+            slim = slim.unionByName(pending.select(*slim_cols))
+        # distinct-by-seq via a two-level aggregate: (tx_id, seq) partials
+        # then per-tx totals — ~4x faster than countDistinct's expand at
+        # bench scale, same at-least-once-safe semantics
         verdict = (
-            cur.groupBy("tx_id")
+            slim.groupBy("tx_id", "seq")
             .agg(
-                F.countDistinct("seq").alias("__n"),
                 F.max("tx_total").alias("__total"),
                 F.min(_FIRST).alias("__first"),
+                F.count(F.when(F.col(_FIRST) == batch_id, 1)).alias("__batch_rows"),
+            )
+            .groupBy("tx_id")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max("__total").alias("__total"),
+                F.min("__first").alias("__first"),
+                F.sum("__batch_rows").alias("__batch_rows"),
             )
             .withColumn(
                 "__complete",
@@ -217,41 +256,110 @@ class TxnGate:
             verdict = verdict.withColumn("__expired", F.lit(False))
         # already-released txs (late duplicates): release straight through
         # — the merge is idempotent, a re-applied event is an LWW no-op
-        verdict = (
-            verdict.join(ledger.withColumnRenamed("tx_id", "__ltx"),
-                         F.col("tx_id") == F.col("__ltx"), "left")
-            .withColumn("__complete", F.col("__complete") | F.col("__ltx").isNotNull())
-            .select("tx_id", "__complete", "__expired")
-            .cache()
-        )
-        newly = [
-            r["tx_id"]
-            for r in verdict.filter(F.col("__complete")).select("tx_id").collect()
-        ]  # released OR ledger-matched this batch; bounded by in-flight txs
-        stats.txs_released = len(newly)
-        tagged = cur.join(verdict, "tx_id", "left")
-        released = auto.unionByName(
-            tagged.filter(F.col("__complete")).select(*plain)
-        )
-        expired = tagged.filter(F.col("__expired")).select(*plain)
-        new_pending = tagged.filter(
-            ~F.col("__complete") & ~F.col("__expired")
-        ).select(*cur.columns)
-        new_ledger = (
-            ledger.filter(F.col("released_batch") >= F.lit(batch_id - self.ledger_batches))
-            .unionByName(
-                self.spark.createDataFrame(
-                    [(t, batch_id) for t in newly], _LEDGER_SCHEMA
-                )
+        if has_ledger:
+            verdict = (
+                verdict.join(ledger.withColumnRenamed("tx_id", "__ltx"),
+                             F.col("tx_id") == F.col("__ltx"), "left")
+                .withColumn("__complete", F.col("__complete") | F.col("__ltx").isNotNull())
             )
-            .groupBy("tx_id")
-            .agg(F.max("released_batch").alias("released_batch"))
+        verdict = verdict.select("tx_id", "__complete", "__expired", "__batch_rows")
+        # spill the verdict to the batch's (pre-publish) state dir in ONE
+        # job; every downstream use — counts, the bad-tx broadcast, the
+        # ledger roll-forward — re-reads the tiny file instead of
+        # re-running the aggregation (a .cache() would still compute it
+        # once per uncached action path and pin executor memory)
+        # NOT inside the batch tmp dir: the tmp→final rename would break
+        # the path under the released/expired plans the engine consumes
+        # after apply() returns. Deterministically recomputed on crash
+        # replay (the preamble wipes it with the stale batch state).
+        vd = os.path.join(self.state_dir, f"verdict-{batch_id}")
+        verdict.repartition(1).write.mode("overwrite").parquet(vd)
+        verdict = self.spark.read.parquet(vd)
+        # one job over the materialized file yields every count the gate needs
+        tot = verdict.agg(
+            F.count(F.lit(1)).alias("n_txs"),
+            F.sum(F.col("__complete").cast("long")).alias("n_complete"),
+            F.sum("__batch_rows").alias("rows_tx"),
+        ).first()
+        n_txs = tot["n_txs"] or 0
+        stats.rows_tx = int(tot["rows_tx"] or 0)
+        stats.txs_released = int(tot["n_complete"] or 0)
+        n_bad_txs = n_txs - stats.txs_released
+        if n_txs == 0:
+            # pure-autocommit batch with no carried state: nothing to do
+            # beyond rolling the state forward (ledger ages out)
+            aged = (
+                ledger.filter(
+                    F.col("released_batch") >= F.lit(batch_id - self.ledger_batches)
+                )
+                if has_ledger
+                else None
+            )
+            self._write_state(batch_id, None, aged)
+            self.finish()
+            empty = bdf.limit(0).select(*plain)
+            return auto, empty, stats
+        bad = verdict.filter(~F.col("__complete"))  # incomplete ∪ expired
+
+        base = (
+            bdf.unionByName(pending.select(*bdf.columns)) if has_pending else bdf
         )
-        self._cached.append(verdict)
+        if n_bad_txs == 0:
+            # common case: every transaction in sight is complete — the
+            # released plan is the plain batch scan (+ the pending
+            # union only when there IS pending state), exactly what a
+            # non-transactional replay would run, so the merge's
+            # repeated passes over it cost nothing extra
+            released = base.select(*plain)
+            expired = bdf.limit(0).select(*plain)
+            new_pending = None
+        else:
+            # rare path: some tx in sight is incomplete/expired — only
+            # now are full-width tx rows (payload included) assembled
+            cur = bdf.filter(F.col("tx_id").isNotNull()).withColumn(
+                _FIRST, F.lit(batch_id).cast("long")
+            )
+            if has_pending:
+                cur = cur.unionByName(pending)
+            # left_anti on tx_id: NULL never matches, so autocommit rows
+            # always pass; broadcast(bad) is the small side by design
+            released = base.join(
+                F.broadcast(bad.select("tx_id")), "tx_id", "left_anti"
+            ).select(*plain)
+            expired = cur.join(
+                F.broadcast(bad.filter(F.col("__expired")).select("tx_id")),
+                "tx_id", "left_semi",
+            ).select(*plain)
+            new_pending = cur.join(
+                F.broadcast(bad.filter(~F.col("__expired")).select("tx_id")),
+                "tx_id", "left_semi",
+            )
+        # the ledger rolls forward distributed — never through the driver.
+        # verdict is one row per tx_id, so with no prior ledger the
+        # complete side is already key-unique and needs no dedup shuffle.
+        newly = verdict.filter(F.col("__complete")).select(
+            "tx_id", F.lit(batch_id).cast("long").alias("released_batch")
+        )
+        if has_ledger:
+            new_ledger = (
+                ledger.filter(
+                    F.col("released_batch") >= F.lit(batch_id - self.ledger_batches)
+                )
+                .unionByName(newly)
+                .groupBy("tx_id")
+                .agg(F.max("released_batch").alias("released_batch"))
+            )
+        else:
+            new_ledger = newly
         self._write_state(batch_id, new_pending, new_ledger)
-        # counts come from the just-written (tiny) state, not a replan
-        wp, _ = self._read_state(batch_id, row_schema)
-        stats.rows_tx_held = wp.count()
-        stats.txs_pending = wp.select("tx_id").distinct().count()
-        stats.rows_tx_expired = expired.count()
+        if new_pending is None:
+            stats.rows_tx_held = 0
+            stats.txs_pending = 0
+            stats.rows_tx_expired = 0
+        else:
+            # counts come from the just-written (tiny) state, not a replan
+            wp, _, _, _ = self._read_state(batch_id, row_schema)
+            stats.rows_tx_held = wp.count()
+            stats.txs_pending = wp.select("tx_id").distinct().count()
+            stats.rows_tx_expired = expired.count()
         return released, expired, stats
