@@ -169,6 +169,14 @@ class EngineConfig:
     # Ignored under routed fan-out (each route is its own table; refresh
     # its views with the standalone CLI/mview API).
     mviews: list[dict] | None = None
+    # Derived INDEXES kept current inside the loop, same contract as
+    # mviews (built on first sight, O(changed-keys) refresh per commit,
+    # crash-safe by refresh idempotence). Entries:
+    #   {"kind": "ivf", "path": dir, "centroids": [[id, [floats]], ...],
+    #    "embed_expr": SQL-> array<double>}            (streaming/ann_index.py)
+    #   {"kind": "minhash", "path": dir, ["text_expr": SQL,
+    #    "n_minhash": 8, "n_bands": 4, "shingle_len": 12]}  (streaming/dedup_index.py)
+    indexes: list[dict] | None = None
     format: str = "parquet"  # change-log segment format: parquet|json
     # Declarative source binding (connectors.py, the conns.yaml analog):
     # when set, `changes_dir` is a connector NAME in this registry file;

@@ -102,6 +102,11 @@ def load_pipeline(path: str) -> tuple[str, EngineConfig]:
             dict(m, path=_abs(m["path"])) if m.get("path") else m
             for m in kwargs["mviews"]
         ]
+    if kwargs.get("indexes"):
+        kwargs["indexes"] = [
+            dict(i, path=_abs(i["path"])) if i.get("path") else i
+            for i in kwargs["indexes"]
+        ]
     if kwargs.get("enrich") and kwargs["enrich"].get("path"):
         kwargs["enrich"] = dict(kwargs["enrich"], path=_abs(kwargs["enrich"]["path"]))
     return mode, EngineConfig(**kwargs)

@@ -182,6 +182,14 @@ class MinHashIndexView:
         })
         return {"mode": "full", "base_to": head, "index_version": man["index_version"]}
 
+    def sync(self, sink: ParquetSnapshotSink) -> dict:
+        """Build if the index doesn't exist yet, else refresh — the
+        idempotent entry point the streaming loop calls after each
+        batch commit (``EngineConfig.indexes``)."""
+        if self._load_manifest() is None:
+            return self.build(sink)
+        return self.refresh(sink)
+
     # ---------------------------------------------------------- refresh
     def _read_dirty(self, man: dict) -> DataFrame | None:
         if not man.get("dirty_dir"):

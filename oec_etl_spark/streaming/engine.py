@@ -42,6 +42,30 @@ def _any(cols) -> F.Column:
     return out
 
 
+def _index_view(spark: SparkSession, spec: dict):
+    """Instantiate a declared derived index (EngineConfig.indexes)."""
+    kind = spec.get("kind")
+    if kind == "ivf":
+        from oec_etl_spark.streaming.ann_index import IvfIndexView
+
+        return IvfIndexView(
+            spark, spec["path"],
+            centroids=[(int(i), list(v)) for i, v in spec["centroids"]],
+            embed_expr=spec["embed_expr"],
+        )
+    if kind == "minhash":
+        from oec_etl_spark.streaming.dedup_index import MinHashIndexView
+
+        return MinHashIndexView(
+            spark, spec["path"],
+            text_expr=spec.get("text_expr", "coalesce(text, '')"),
+            n_minhash=int(spec.get("n_minhash", 8)),
+            n_bands=int(spec.get("n_bands", 4)),
+            shingle_len=int(spec.get("shingle_len", 12)),
+        )
+    raise ValueError(f"unknown index kind {kind!r} (expected 'ivf' or 'minhash')")
+
+
 def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
     """(path, format) of the change log. With ``cfg.connectors_path``
     set, ``changes_dir`` is a connector NAME resolved through the
@@ -313,6 +337,12 @@ def _build_query(
                     spark, spec["path"], spec["group_keys"],
                     sum_exprs=spec.get("sum_exprs"),
                 ).refresh(sink)
+        if cfg.indexes:
+            # derived indexes ride the same contract: built on first
+            # sight, O(changed keys) per refresh, idempotent across a
+            # crash between commit and sync
+            for spec in cfg.indexes:
+                _index_view(spark, spec).sync(sink)
         lineages.append(rec)
         append_jsonl(lineage_path, rec.to_dict())
         housekeep_source()
