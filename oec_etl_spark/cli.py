@@ -20,6 +20,8 @@ idempotent command surface::
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         rollback  --target DIR --to-version V    # metadata-only undo
         mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
+        index     --target DIR --index DIR --kind ivf|minhash [--op sync|
+                  compact|probe|query]           # derived ANN / near-dup index
         branch    --target DIR --name B          # open a WAP staging branch
         audit     --target DIR [--branch B] [--expect NAME=PRED ...]
         publish   --target DIR --name B          # audit + fast-forward main
@@ -216,6 +218,54 @@ def cmd_mview(spark, args) -> int:
     mv = MaterializedView(spark, args.view, args.keys.split(","), sum_exprs=sums)
     sink = ParquetSnapshotSink(spark, args.target, args.buckets)
     print(json.dumps(mv.refresh(sink)))
+    return 0
+
+
+def cmd_index(spark, args) -> int:
+    """Maintain or query a derived index (streaming/ann_index.py,
+    streaming/dedup_index.py) over the target table: --op sync builds
+    on first run and O(changed-keys)-refreshes after, compact folds the
+    overlay, probe (minhash) near-dup-checks a parquet batch of docs,
+    query (ivf) runs a probed-partition top-k."""
+    from oec_etl_spark.streaming.engine import _index_view
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    spec = {"kind": args.kind, "path": args.index}
+    if args.kind == "ivf":
+        if not args.centroids or not args.embed_expr:
+            raise SystemExit("--kind ivf wants --centroids JSON_FILE and --embed-expr")
+        with open(args.centroids) as f:
+            spec["centroids"] = json.load(f)
+        spec["embed_expr"] = args.embed_expr
+    else:
+        if args.text_expr:
+            spec["text_expr"] = args.text_expr
+        spec.update(n_minhash=args.n_minhash, n_bands=args.n_bands,
+                    shingle_len=args.shingle_len)
+    view = _index_view(spark, spec)
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    if args.op == "sync":
+        print(json.dumps(view.sync(sink)))
+    elif args.op == "compact":
+        print(json.dumps(view.compact()))
+    elif args.op == "probe":
+        if args.kind != "minhash":
+            raise SystemExit("--op probe is a minhash-index operation")
+        if not args.docs:
+            raise SystemExit("--op probe wants --docs PARQUET_DIR (doc_id, text)")
+        hits = view.probe(
+            sink, spark.read.parquet(args.docs), threshold=args.threshold
+        ).collect()
+        print(json.dumps([r.asDict() for r in hits]))
+    elif args.op == "query":
+        if args.kind != "ivf":
+            raise SystemExit("--op query is an ivf-index operation")
+        if not args.query_vec:
+            raise SystemExit("--op query wants --query-vec JSON_ARRAY")
+        rows = view.query(
+            json.loads(args.query_vec), k=args.k, nprobe=args.nprobe
+        ).collect()
+        print(json.dumps([r.asDict() for r in rows]))
     return 0
 
 
@@ -704,7 +754,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "stats", "describe",
-                 "vacuum", "rollback", "mview", "clone", "purge", "consume", "run",
+                 "vacuum", "rollback", "mview", "index", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
                  "delete", "update", "truncate", "requeue",
                  "branch", "branches", "drop-branch", "audit", "publish"):
@@ -873,6 +923,26 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--keys", required=True, help="comma-separated group keys")
             sp.add_argument("--sum", action="append", default=None,
                             metavar="NAME=SQL_EXPR", help="additive measure over payload columns")
+        if name == "index":
+            sp.add_argument("--index", required=True, help="index state directory")
+            sp.add_argument("--kind", required=True, choices=["ivf", "minhash"])
+            sp.add_argument("--op", default="sync",
+                            choices=["sync", "compact", "probe", "query"])
+            sp.add_argument("--centroids", default=None, metavar="JSON_FILE",
+                            help="ivf: [[id, [floats]], ...]")
+            sp.add_argument("--embed-expr", default=None,
+                            help="ivf: SQL expr -> array<double> over the row")
+            sp.add_argument("--text-expr", default=None,
+                            help="minhash: SQL text expr (default coalesce(text,''))")
+            sp.add_argument("--n-minhash", type=int, default=8)
+            sp.add_argument("--n-bands", type=int, default=4)
+            sp.add_argument("--shingle-len", type=int, default=12)
+            sp.add_argument("--docs", default=None, metavar="PARQUET_DIR",
+                            help="probe: incoming docs (doc_id, text)")
+            sp.add_argument("--threshold", type=float, default=0.5)
+            sp.add_argument("--query-vec", default=None, metavar="JSON_ARRAY")
+            sp.add_argument("--k", type=int, default=10)
+            sp.add_argument("--nprobe", type=int, default=2)
         sp.add_argument("--buckets", type=int, default=16)
     args = p.parse_args(argv)
 
@@ -921,6 +991,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_truncate(spark, args)
         if args.cmd == "mview":
             return cmd_mview(spark, args)
+        if args.cmd == "index":
+            return cmd_index(spark, args)
         if args.cmd == "changelog":
             return cmd_changelog(spark, args)
         if args.cmd == "rebucket":
