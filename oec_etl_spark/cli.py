@@ -254,7 +254,8 @@ def cmd_index(spark, args) -> int:
         if not args.docs:
             raise SystemExit("--op probe wants --docs PARQUET_DIR (doc_id, text)")
         hits = view.probe(
-            sink, spark.read.parquet(args.docs), threshold=args.threshold
+            sink, spark.read.parquet(args.docs), threshold=args.threshold,
+            max_shingle_df=args.max_shingle_df,
         ).collect()
         print(json.dumps([r.asDict() for r in hits]))
     elif args.op == "query":
@@ -940,6 +941,9 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--docs", default=None, metavar="PARQUET_DIR",
                             help="probe: incoming docs (doc_id, text)")
             sp.add_argument("--threshold", type=float, default=0.5)
+            sp.add_argument("--max-shingle-df", type=int, default=None,
+                            help="probe: stop-shingle guard — drop shingles "
+                            "shared by more than N candidate corpus docs")
             sp.add_argument("--query-vec", default=None, metavar="JSON_ARRAY")
             sp.add_argument("--k", type=int, default=10)
             sp.add_argument("--nprobe", type=int, default=2)

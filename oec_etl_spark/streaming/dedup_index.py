@@ -264,6 +264,7 @@ class MinHashIndexView:
         text_col: str = "text",
         id_col: str = "doc_id",
         threshold: float = 0.5,
+        max_shingle_df: int | None = None,
     ) -> DataFrame:
         """Ingest-time near-dup check: which incoming docs near-match
         something already in the table? Bands the incoming batch,
@@ -304,6 +305,19 @@ class MinHashIndexView:
         sh_in = char_shingles(in_docs, text_col, id_col, self.shingle_len) \
             .join(cand.select(id_col).distinct(), id_col, "left_semi")
         sh_co = char_shingles(corpus, "__text", _DID, self.shingle_len)
+        if max_shingle_df is not None:
+            # stop-shingle guard (same skew fix as ngram_jaccard_pairs):
+            # a shingle ubiquitous among the CORPUS candidates would fan
+            # the equi-join out quadratically — drop it from BOTH sides
+            # so the (approximate) Jaccard stays symmetric
+            rare = (
+                sh_co.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_shingle_df)
+                .select("shingle")
+            )
+            sh_in = sh_in.join(rare, "shingle", "left_semi")
+            sh_co = sh_co.join(rare, "shingle", "left_semi")
         sz_in = sh_in.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz_a"))
         sz_co = sh_co.groupBy(_DID).agg(F.count(F.lit(1)).alias("__sz_b"))
         inter = (

@@ -103,6 +103,11 @@ def test_probe_finds_planted_neardup_not_unrelated(spark, tmp_path):
         for r in hits
     )
     assert not any(r["doc_id"] == "p2" for r in hits)
+    # the stop-shingle guard must not lose the planted near-dup
+    capped = idx.probe(sink, docs, threshold=0.5, max_shingle_df=20).collect()
+    assert any(
+        r["doc_id"] == "p1" and r["conv_id"] == victim["conv_id"] for r in capped
+    )
 
 
 def test_probe_tracks_updates_and_deletes(spark, tmp_path):
