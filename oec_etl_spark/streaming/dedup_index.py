@@ -147,7 +147,9 @@ class MinHashIndexView:
             *self.keys,
             F.expr(self.text_expr).alias("__text"),
         )
-        ids = docs.select(_DID, *self.keys).distinct()
+        # the base table is key-unique by construction (one live row per
+        # key), so _DID is already distinct — no dedup shuffle needed
+        ids = docs.select(_DID, *self.keys)
         bands = lsh_bands(
             minhash_signatures(
                 char_shingles(docs, "__text", _DID, self.shingle_len),
