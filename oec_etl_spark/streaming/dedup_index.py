@@ -275,7 +275,12 @@ class MinHashIndexView:
         the candidate (incoming, corpus) pairs — corpus text fetched
         by a keyed semi-join, so the verify cost follows the candidate
         count, not the corpus. Output: (id_col, keys..., jaccard) for
-        pairs ≥ threshold."""
+        pairs ≥ threshold.
+
+        Consistency: candidates come from the index (pinned base +
+        overlay), verification text from the sink's HEAD — exact when
+        the index is synced to head (the in-loop contract); an
+        unsynced index can miss docs changed since its pin."""
         in_docs = docs.select(F.col(id_col).cast("string").alias(id_col), F.col(text_col))
         in_bands = lsh_bands(
             minhash_signatures(
