@@ -177,6 +177,15 @@ class EngineConfig:
     #   {"kind": "minhash", "path": dir, ["text_expr": SQL,
     #    "n_minhash": 8, "n_bands": 4, "shingle_len": 12]}  (streaming/dedup_index.py)
     indexes: list[dict] | None = None
+    # Ingest-time near-duplicate suppression (streaming/neardup_gate.py):
+    # probe the declared MinHash index before each merge; full-content
+    # rows (I/U/R) whose text near-matches a DIFFERENT already-ingested
+    # key — or an earlier same-batch row — are DLQ'd as 'neardup'.
+    #   {"index_path": <path of a kind='minhash' indexes entry>,
+    #    "threshold": 0.5, "max_shingle_df": 50, "within_batch": True}
+    # Requires the index in `indexes` (the post-merge sync contract);
+    # incompatible with routed fan-out (one gate = one table).
+    neardup_gate: dict | None = None
     format: str = "parquet"  # change-log segment format: parquet|json
     # Declarative source binding (connectors.py, the conns.yaml analog):
     # when set, `changes_dir` is a connector NAME in this registry file;
@@ -192,4 +201,10 @@ class EngineConfig:
                 "set compact_after_deltas (major) OR minor_compact_after "
                 "(minor), not both — a minor fold drops the delta count to "
                 "1, so a count-based major trigger would never fire"
+            )
+        if self.neardup_gate and self.routes:
+            raise ValueError(
+                "neardup_gate is incompatible with routed fan-out: the gate "
+                "probes ONE table's index; gate each route's table with its "
+                "own single-target pipeline"
             )

@@ -107,6 +107,11 @@ def load_pipeline(path: str) -> tuple[str, EngineConfig]:
             dict(i, path=_abs(i["path"])) if i.get("path") else i
             for i in kwargs["indexes"]
         ]
+    if kwargs.get("neardup_gate") and kwargs["neardup_gate"].get("index_path"):
+        kwargs["neardup_gate"] = dict(
+            kwargs["neardup_gate"],
+            index_path=_abs(kwargs["neardup_gate"]["index_path"]),
+        )
     if kwargs.get("enrich") and kwargs["enrich"].get("path"):
         kwargs["enrich"] = dict(kwargs["enrich"], path=_abs(kwargs["enrich"]["path"]))
     return mode, EngineConfig(**kwargs)

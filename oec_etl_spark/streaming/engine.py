@@ -219,6 +219,11 @@ def _build_query(
         sink = mk_sink(cfg.target_dir, branch=cfg.branch)
     lineage_path = cfg.lineage_path or f"{cfg.target_dir}/_lineage/lineage.jsonl"
     enricher = build_enricher(spark, cfg.enrich)  # dim loads + verifies once
+    nd_gate = None
+    if cfg.neardup_gate:
+        from oec_etl_spark.streaming.neardup_gate import NearDupGate
+
+        nd_gate = NearDupGate(spark, cfg)  # validates spec + index binding once
     txn_gate = None
     if cfg.transactional:
         from oec_etl_spark.streaming.txn import TxnGate
@@ -239,6 +244,14 @@ def _build_query(
             # constraints / derives) when released, exactly once
             bdf, tx_expired, txstats = txn_gate.apply(bdf, batch_id)
         valid, bad = quarantine_split(bdf, cfg.constraints)
+        nd_n = 0
+        if nd_gate is not None:
+            # near-dup suppression on the wire text, BEFORE derives/
+            # enrich (keeps the DLQ schema identical to the quarantine
+            # split's; the gate's text_expr sees the change columns)
+            valid, nd_rej, nd_n = nd_gate.split(sink, valid)
+            if nd_n:
+                bad = bad.unionByName(nd_rej)
         valid = enricher(apply_derives(valid, cfg.derives))
         if txstats is not None and txstats.rows_tx_expired:
             bad = bad.unionByName(
@@ -324,6 +337,9 @@ def _build_query(
         finally:
             if txn_gate is not None:
                 txn_gate.finish()
+            if nd_gate is not None:
+                nd_gate.finish()
+        rec.rows_neardup = nd_n
         rec.compacted_buckets = housekeep(sink)
         if cfg.mviews:
             # keep declared downstream aggregates current in the same
@@ -490,13 +506,31 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
                        ledger_batches=cfg.tx_ledger_batches)
         df, _expired, _ = gate.apply(df, 0)
     valid, bad = quarantine_split(df, cfg.constraints)
+    nd_gate, nd_n = None, 0
+    if cfg.neardup_gate:
+        # one-shot apply: the corpus side is whatever was committed
+        # before this call (within-batch covers the log itself); the
+        # index is synced at probe time, not after this merge — the
+        # next gated call re-syncs first, so nothing is missed
+        from oec_etl_spark.streaming.neardup_gate import NearDupGate
+
+        nd_gate = NearDupGate(spark, cfg)
+        valid, nd_rej, nd_n = nd_gate.split(sink, valid)
+        if nd_n:
+            bad = bad.unionByName(nd_rej)
     valid = build_enricher(spark, cfg.enrich)(apply_derives(valid, cfg.derives))
     n_bad = 0
     if cfg.quarantine_dir is not None:
         n_bad = bad.count()
         if n_bad:
             bad.write.mode("append").parquet(cfg.quarantine_dir)
-    return sink.merge(valid, batch_id=0, quarantined=n_bad)
+    try:
+        rec = sink.merge(valid, batch_id=0, quarantined=n_bad)
+    finally:
+        if nd_gate is not None:
+            nd_gate.finish()
+    rec.rows_neardup = nd_n
+    return rec
 
 
 def requeue_quarantined(

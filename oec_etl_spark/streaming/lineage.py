@@ -36,6 +36,10 @@ class BatchLineage:
     # data — a snapshot read never overwrites anything
     rows_snapshot_applied: int = 0
     rows_truncate_events: int = 0  # op='T' rows in the batch
+    # rows DLQ'd as 'neardup' by the ingest-time suppression gate
+    # (EngineConfig.neardup_gate) — also included in rows_quarantined
+    # when a quarantine_dir is configured
+    rows_neardup: int = 0
     # transaction gate (EngineConfig.transactional) — batch-scoped, so
     # identical across a fan-out batch's route records:
     rows_tx: int = 0  # tx-carrying rows that arrived in this batch
