@@ -76,6 +76,66 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup_exemplars(
+    df: DataFrame, centroids: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    cent_id: str = "centroid_id", cent_vec: str = "centroid",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus with IVF centroids, find cosine-≥-threshold pairs ONLY
+    within each cluster, connect them into components, and keep one
+    exemplar per component — the member closest to its centroid
+    (semantically most central), ties to the smallest id.
+
+    Scale shape: the quadratic pair search is confined per cluster —
+    at 10^9 docs one picks k so clusters hold ~10^4-10^5 vectors (the
+    published SemDeDup regime), making the within-cluster join a
+    bucket-confined product like the LSH paths, never corpus².
+    Assignment is the map-only broadcast ``ivf_assign``; components
+    use min-label propagation (clusters are shallow by construction —
+    pairs share a centroid, so component diameter is tiny).
+
+    Output: one row per input vector —
+    (vec_id, centroid_id, exemplar_id, is_exemplar)."""
+    from oec_etl_spark.operators.dedup import cc_propagate
+
+    assign = ivf_assign(df, centroids, id_col, vec_col, cent_id, cent_vec)
+    with_vec = assign.join(df.select(id_col, vec_col), id_col)
+    a = with_vec.select(
+        F.col(id_col).alias("doc_a"), cent_id, F.col(vec_col).alias("__va")
+    )
+    b = with_vec.select(
+        F.col(id_col).alias("doc_b"), cent_id, F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, cent_id)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = cc_propagate(df.select(id_col), pairs, id_col=id_col)
+    full = assign.join(
+        labels.withColumnRenamed("u", id_col).withColumnRenamed("lbl", "__comp"),
+        id_col,
+    )
+    exemplars = full.groupBy("__comp").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col("cos"), (-F.col(id_col)).alias("__nid")),
+        ).alias("exemplar_id")
+    )
+    return full.join(exemplars, "__comp").select(
+        id_col,
+        cent_id,
+        "exemplar_id",
+        (F.col(id_col) == F.col("exemplar_id")).alias("is_exemplar"),
+    )
+
+
 # ----------------------------------------------------- random-hyperplane LSH
 def rp_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Seeded random hyperplanes for sign-LSH (SimHash for real vectors).

@@ -862,6 +862,58 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(spark, idx, cents, qvec, k=10, nprobe=2)
 
 
+@_register(
+    "semantic_dedup_exemplars",
+    """
+    WITH RECURSIVE
+    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, cid, ccos FROM (
+        SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) AS ccos,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid
+               ) AS rn
+        FROM embeddings e, cents c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.35),
+    und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+    minr AS (SELECT u, min(v) AS mv FROM reach GROUP BY u),
+    lbl AS (SELECT a.vec_id, a.cid, a.ccos, least(a.vec_id, coalesce(m.mv, a.vec_id)) AS comp
+            FROM assigned a LEFT JOIN minr m ON m.u = a.vec_id),
+    ex AS (SELECT comp, vec_id AS exemplar_id FROM (
+             SELECT comp, vec_id,
+                    row_number() OVER (PARTITION BY comp ORDER BY ccos DESC, vec_id) AS rn
+             FROM lbl)
+           WHERE rn = 1)
+    SELECT l.vec_id, CAST(l.cid AS INT) AS centroid_id, ex.exemplar_id,
+           l.vec_id = ex.exemplar_id AS is_exemplar
+    FROM lbl l JOIN ex ON ex.comp = l.comp
+    """,
+    tags="SemDeDup semantic dedup: IVF-cluster-confined cosine pairs → connected components → closest-to-centroid exemplar (quadratic search bounded per cluster, never corpus²)",
+)
+def semantic_dedup_exemplars(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = similarity.semdedup_exemplars(emb, cents, threshold=0.35)
+    return out.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("centroid_id"),
+        "exemplar_id", "is_exemplar",
+    )
+
+
 _RP_PLANES = similarity.rp_hyperplanes(n_planes=8, dim=64, seed=7)
 
 
