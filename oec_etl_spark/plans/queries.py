@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from oec_etl_spark.functions import hs6, text as tx, zorder
 from oec_etl_spark.functions.vectors import cosine
-from oec_etl_spark.operators import decontam
+from oec_etl_spark.operators import bpe, decontam, lm
 from oec_etl_spark.operators import dedup as dd
 from oec_etl_spark.operators import reshape, similarity
 from oec_etl_spark.operators.lww import lww_reduce
@@ -2442,6 +2442,52 @@ def doc_pack_sequences(spark, sf_dir):
         binned.groupBy("lang", F.col("bin_id").cast("int").alias("bin_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens"))
     )
+
+
+@_register(
+    "doc_lm_xent",
+    lm.score_bigram_xent_sql("documents"),
+    tags="LLM corpus quality: CCNet-style per-doc cross-entropy under a "
+         "corpus-trained add-k bigram LM (Zipf-aware head-broadcast + "
+         "tail-shuffle scoring join)",
+)
+def doc_lm_xent(spark, sf_dir):
+    """Self-trained bigram-LM perplexity filter (operators/lm.py):
+    training is two map-side-combined aggregations over the exploded
+    bigram stream; scoring splits the Zipf-skewed gram join into a
+    broadcast head (the stop-pairs that would otherwise converge on
+    single reducers) and a uniform shuffled tail."""
+    return lm.score_bigram_xent(load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bpe_learn_merges",
+    bpe.learn_merges_sql("documents"),
+    tags="distributed BPE tokenizer training: merge ranks learned from the "
+         "(word,count) table — corpus scanned once, one small shuffle per merge",
+)
+def bpe_learn_merges(spark, sf_dir):
+    """Train N_MERGES BPE merges on the documents corpus
+    (operators/bpe.py) and return the ranked merge table. The oracle
+    replays the identical loop as a generated CTE chain, so argmax
+    tie-breaks and replace-all merge semantics are pinned bit-for-bit
+    across engines."""
+    merges, _ = bpe.learn_merges(load(spark, sf_dir, "documents"))
+    return bpe.merges_df(spark, merges)
+
+
+@_register(
+    "bpe_compression",
+    bpe.compression_sql("documents"),
+    tags="distributed BPE tokenizer training: corpus compression of the "
+         "learned vocab (words/chars/subword tokens + tokens-per-char)",
+)
+def bpe_compression(spark, sf_dir):
+    """Corpus-level compression of the trained BPE vocab: exact-integer
+    totals plus one division, so the double is identical in both
+    engines without rounding slack."""
+    _, words = bpe.learn_merges(load(spark, sf_dir, "documents"))
+    return bpe.compression(words)
 
 
 def headline_names() -> list[str]:
