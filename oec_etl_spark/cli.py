@@ -70,6 +70,7 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         n_buckets=args.buckets,
         max_files_per_trigger=args.max_files_per_trigger,
         files_per_bucket=args.files_per_bucket,
+        key_bloom_bits=args.key_bloom_bits,
         quarantine_dir=args.quarantine,
         table_mode=args.table_mode,
         format=args.format,
@@ -816,6 +817,10 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--files-per-bucket", type=int, default=1,
                             help="sub-bucket write fan-out: spread each "
                             "bucket's rows over ~K tasks/files per write")
+            sp.add_argument("--key-bloom-bits", type=int, default=None,
+                            help="per-file conv_id bloom filters (bits/file) "
+                            "in the zone-map sidecars: membership pruning "
+                            "for point lookups where key ranges are blind")
             sp.add_argument("--quarantine", default=None)
             sp.add_argument("--table-mode", default="cow", choices=["cow", "mor"])
             sp.add_argument("--branch", default=None,

@@ -38,6 +38,15 @@ class EngineConfig:
     # A conversation still lands wholly in one file; readers glob the
     # bucket dir and are unaffected, so this is a pure write-side knob.
     files_per_bucket: int = 1
+    # Per-file conv_id BLOOM FILTERS in the zone-map sidecars (Iceberg
+    # write.bloom-filter analog, readable without opening the file).
+    # Bits per file (e.g. 16384 ≈ 2 KiB ≈ 8 bits/key at 2K convs/file
+    # → ~2% false-admit rate). Prunes point lookups by membership where
+    # the [key_min, key_max] range check is blind: hash-fanned-out
+    # sub-files and MOR delta files all span the keyspace. Costs one
+    # extra conv_id-only columnar scan of each written version dir.
+    # None = off; safe to enable/disable mid-table (readers fall back).
+    key_bloom_bits: int | None = None
     # WRITE ORDERED BY analog: physically sort each written data file by
     # (conv_id, turn_idx). Better compression + sequential turn reads at
     # the cost of a per-task sort of the batch winners on every commit.

@@ -208,6 +208,7 @@ def _build_query(
             merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
             write_sorted=cfg.write_sorted, branch=branch,
             files_per_bucket=cfg.files_per_bucket, profile=cfg.profile,
+            key_bloom_bits=cfg.key_bloom_bits,
         )
 
     if cfg.routes:
@@ -490,6 +491,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         merge_strategy=cfg.merge_strategy, table_mode=cfg.table_mode,
         write_sorted=cfg.write_sorted, branch=cfg.branch,
         files_per_bucket=cfg.files_per_bucket, profile=cfg.profile,
+        key_bloom_bits=cfg.key_bloom_bits,
     )
     src_path, src_format = _resolve_source(cfg)
     df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)

@@ -71,6 +71,11 @@ _FROM_BATCH = "__from_batch"
 _UF = "__uf"  # xxhash64(source_file) — fixed-width row uniquifier
 _UO = "__uo"  # delivery offset — fixed-width row uniquifier
 FILESTATS = "_filestats.json"  # per-bucket-dir ts zone map sidecar
+# Key bloom filters (opt-in, key_bloom_bits): number of hash probes per
+# key. With m bits and n distinct keys per file the false-positive rate
+# is ~(1 - e^(-k*n/m))^k; at the default k=4 sizing m ≈ 8–16 bits/key
+# gives ~2–6% FPR — a wrong-way error only ever ADMITS a file.
+KEY_BLOOM_K = 4
 
 
 def _epoch_micros(ts) -> int:
@@ -106,6 +111,7 @@ class ParquetSnapshotSink:
         branch: str | None = None,
         files_per_bucket: int = 1,
         profile: bool = False,
+        key_bloom_bits: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -143,6 +149,20 @@ class ParquetSnapshotSink:
         # hash-path reduce consumes it twice). Off by default; the cost
         # is explicit and O(batch).
         self.profile = profile
+        # Opt-in per-file key BLOOM FILTERS in the zone-map sidecar
+        # (Parquet bloom_filter_enabled / Iceberg write.bloom-filter
+        # analog, but readable without opening the file). Why min/max
+        # key ranges aren't enough: conv_ids are hash-distributed, so
+        # under sub-bucket fan-out every file's [key_min, key_max]
+        # spans essentially the whole keyspace and range pruning goes
+        # blind exactly where fan-out created the extra files — and MOR
+        # delta files mix whatever conversations the batch touched. A
+        # per-file bloom prunes by membership, not order. Cost: one
+        # extra columnar scan of conv_id over each just-written version
+        # dir (distributed, O(written rows), text bytes never read).
+        # Reads fall back to not pruning when the bitmap is absent, so
+        # the knob can be flipped on/off mid-table-life safely.
+        self.key_bloom_bits = int(key_bloom_bits) if key_bloom_bits else None
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
 
     def _write_store(self, store: DataFrame, vdir: str, ts_split: int = 1) -> None:
@@ -179,6 +199,7 @@ class ParquetSnapshotSink:
             os.path.join(self.root, vdir)
         )
         self._record_file_stats(vdir)
+        self._record_key_blooms(vdir)
 
     def _record_file_stats(self, vdir: str) -> None:
         """Zone map: per-file min/max of ``ts`` (epoch µs) AND of the
@@ -248,6 +269,87 @@ class ParquetSnapshotSink:
             with open(tmp, "w") as f:
                 json.dump(stats, f)
             os.replace(tmp, os.path.join(bdir, FILESTATS))
+
+    def _record_key_blooms(self, vdir: str) -> None:
+        """Per-file conv_id bloom filters, merged into the zone-map
+        sidecars that ``_record_file_stats`` just wrote. Distributed
+        harvest: ONE Spark job scans only the conv_id column of the
+        just-written files (dictionary-encoded, a tiny fraction of the
+        bytes), computes each row's KEY_BLOOM_K probe positions
+        JVM-side, and ships back O(files × distinct positions) ints —
+        never rows — to the driver, which packs bitmaps. At cluster
+        scale this is the same shape as Iceberg's write-time
+        bloom-filter stats, amortized into the commit.
+
+        Probe parity: position_i = pmod(xxhash64(conv_id, i), m). The
+        lookup side computes the identical expression in the same JVM
+        (batched into the job it already runs for the bucket id), so
+        the two sides can never drift the way a Python reimplementation
+        of xxhash64 could."""
+        if not self.key_bloom_bits:
+            return
+        import base64
+
+        m, k = self.key_bloom_bits, KEY_BLOOM_K
+        base = os.path.join(self.root, vdir)
+        if not os.path.isdir(base):
+            return
+        probes = F.array(*[
+            F.pmod(F.xxhash64(F.col("conv_id"), F.lit(i)), F.lit(m)).cast("int")
+            for i in range(k)
+        ])
+        rows = (
+            self.spark.read.parquet(base)
+            .select(F.input_file_name().alias("__f"), F.explode(probes).alias("__p"))
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        by_dir: dict[str, dict[str, list[int]]] = {}
+        for r in rows:
+            path = r["__f"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            d, fn = os.path.split(path)
+            by_dir.setdefault(d, {})[fn] = r["__ps"]
+        for d, files in by_dir.items():
+            sp = os.path.join(d, FILESTATS)
+            side: dict = {}
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    side = json.load(f)
+            for fn, positions in files.items():
+                bits = bytearray((m + 7) // 8)
+                for p in positions:
+                    bits[p >> 3] |= 1 << (p & 7)
+                ent = side.setdefault(fn, {})
+                ent["bloom"] = base64.b64encode(bytes(bits)).decode()
+                ent["bloom_m"] = m
+                ent["bloom_k"] = k
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(side, f)
+            os.replace(tmp, sp)
+
+    def _key_probe_hashes(self, conv_id: str) -> tuple[int, list[int]]:
+        """(bucket id, KEY_BLOOM_K raw xxhash64 probe hashes) for a key,
+        from ONE tiny JVM job — the same job lookup() already needs for
+        the bucket id. Raw hashes (not positions) so the read side can
+        re-mod against whatever ``bloom_m`` each sidecar entry recorded,
+        staying correct across a key_bloom_bits re-configuration."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets))
+                .cast("int").alias("b"),
+                *[
+                    F.xxhash64(F.lit(conv_id), F.lit(i)).alias(f"h{i}")
+                    for i in range(KEY_BLOOM_K)
+                ],
+            )
+            .first()
+        )
+        return row["b"], [row[f"h{i}"] for i in range(KEY_BLOOM_K)]
 
     # ------------------------------------------------------------ state
     def _current_pointer(self) -> str:
@@ -1284,13 +1386,27 @@ class ParquetSnapshotSink:
                 kept.append(os.path.join(d, fn))
         return kept, total
 
-    def _key_pruned_files(self, dirs: list[str], key: str) -> tuple[list[str], int]:
+    def _key_pruned_files(
+        self, dirs: list[str], key: str, probe_hashes: list[int] | None = None
+    ) -> tuple[list[str], int]:
         """(kept file paths, total files): drop files whose key zone
         map proves ``conv_id = key`` cannot occur in them. Pre-merge
         key pruning is exact — a key's LWW winner can only come from a
         file that contains the key, so files that provably lack it
         contribute nothing to that key's reduce. Missing sidecar or
-        statless file → kept (conservative fallback, never wrong)."""
+        statless file → kept (conservative fallback, never wrong).
+
+        Two independent prunes, each sufficient to drop a file:
+        - [key_min, key_max] range check — tight for sorted writes,
+          blind for hash-fanned-out files (every sub-file spans the
+          keyspace);
+        - bloom membership (``probe_hashes``, raw xxhash64 values
+          re-modded per-file against the recorded ``bloom_m``) — order-
+          free, so it prunes exactly the fan-out/delta files the range
+          check can't. A zero bit is a proof of absence; a set bit only
+          admits the file (possibly falsely, at the sized FPR)."""
+        import base64
+
         kept, total = [], 0
         for d in dirs:
             if not os.path.isdir(d):
@@ -1312,6 +1428,15 @@ class ParquetSnapshotSink:
                     and not (st["key_min"] <= key <= st["key_max"])
                 ):
                     continue
+                if probe_hashes and st and st.get("bloom") and st.get("bloom_m"):
+                    bits = base64.b64decode(st["bloom"])
+                    mm = int(st["bloom_m"])
+                    k = min(int(st.get("bloom_k", KEY_BLOOM_K)), len(probe_hashes))
+                    if any(
+                        not (bits[(h % mm) >> 3] >> ((h % mm) & 7)) & 1
+                        for h in probe_hashes[:k]
+                    ):
+                        continue
                 kept.append(os.path.join(d, fn))
         return kept, total
 
@@ -1323,7 +1448,7 @@ class ParquetSnapshotSink:
         man = self.load_manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
-        files = with_stats = 0
+        files = with_stats = with_bloom = 0
         lo: int | None = None
         hi: int | None = None
         for d in self._bucket_paths(man) + self._delta_paths(man):
@@ -1343,7 +1468,9 @@ class ParquetSnapshotSink:
                     with_stats += 1
                     lo = st["ts_min"] if lo is None else min(lo, st["ts_min"])
                     hi = st["ts_max"] if hi is None else max(hi, st["ts_max"])
-        return {"files": files, "with_stats": with_stats,
+                if st and st.get("bloom"):
+                    with_bloom += 1
+        return {"files": files, "with_stats": with_stats, "with_bloom": with_bloom,
                 "ts_min_us": lo, "ts_max_us": hi}
 
     def scan_since(self, since, version: int | None = None) -> DataFrame:
@@ -1445,19 +1572,17 @@ class ParquetSnapshotSink:
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         self._sync_layout(man)
-        # same hash the writer used (operators/bucketing.with_bucket)
-        b = (
-            self.spark.range(1)
-            .select(F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets)).cast("int"))
-            .first()[0]
-        )
+        # same hash the writer used (operators/bucketing.with_bucket),
+        # plus the bloom probe hashes — one job covers both
+        b, probes = self._key_probe_hashes(conv_id)
         schema = T.StructType.fromJson(man["schema"])
         store = storage_schema(schema)
         dirty = b in {int(x) for x, dd in man.get("deltas", {}).items() if dd}
         dirs = self._bucket_paths(man, [b])
         if dirty:
             dirs += self._delta_paths(man, [b])
-        files, _total = self._key_pruned_files(dirs, conv_id)
+        files, _total = self._key_pruned_files(dirs, conv_id, probes)
+        self.last_lookup_files = (len(files), _total)  # observability + tests
         if not files:
             df = self.spark.createDataFrame([], store)
         elif dirty:
