@@ -220,3 +220,33 @@ def mean_word_len(col: Column) -> Column:
 
 def mean_word_len_sql(expr: str, t: str) -> str:
     return f"round(CAST(length({expr}) - (len({t}) - 1) AS DOUBLE) / len({t}), 4)"
+
+
+# ----------------------------------------------------------- chunking
+def chunk_text(col: Column, size: int, stride: int) -> Column:
+    """Sliding token windows over a document — the context-window
+    chunking step every RAG / long-context training pipeline runs
+    before embedding. Chunk i covers tokens [i*stride+1, i*stride+size]
+    (1-based); a document shorter than ``size`` yields exactly one
+    chunk; the final chunk may be short (never empty). Pure built-in
+    Column expressions (split → sequence → transform → slice), so the
+    whole thing is codegen'd and map-only: at 100 TB this parallelizes
+    per input split with zero shuffle and zero Python.
+
+    Returns array<struct<chunk_id:int, chunk:string,
+    n_chunk_tokens:int>> — explode() it for one row per chunk."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    t = tokens(col)
+    n = F.size(t)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        (F.floor((n - size + stride - 1) / stride) + 1).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice(t, i * stride + 1, size), " ").alias("chunk"),
+            F.least(F.lit(size), n - i * stride).cast("int").alias("n_chunk_tokens"),
+        ),
+    )

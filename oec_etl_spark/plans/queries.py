@@ -2490,5 +2490,119 @@ def bpe_compression(spark, sf_dir):
     return bpe.compression(words)
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # tokens per chunk / window step
+
+
+@_register(
+    "doc_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                          ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE} + 1 END)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id*{_CHUNK_STRIDE} + 1 : chunk_id*{_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ') AS chunk,
+           CAST(least({_CHUNK_SIZE}, n - chunk_id*{_CHUNK_STRIDE}) AS INT) AS n_chunk_tokens
+    FROM c
+    """,
+    tags="RAG/long-context chunking: sliding token windows (size 32, stride 24) "
+         "as pure codegen'd array ops — map-only, zero shuffle, zero Python",
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Context-window chunking (functions/text.chunk_text): one row per
+    overlapping token window per document. The plan is a single
+    project+explode over the scan — no shuffle — so at 100 TB it runs
+    at input-split parallelism; the downstream embed step consumes the
+    chunks without repartitioning."""
+    d = load(spark, sf_dir, "documents")
+    c = tx.chunk_text(F.col("text"), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+    return d.select("doc_id", F.explode(c).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+def _lsh_ctes_over(table: str, id_col: str, text_col: str) -> str:
+    """The MinHash-LSH candidate-pair CTE chain over an arbitrary
+    (id, text) relation — same constants and hashes as _LSH_CTES (which
+    is the documents-table instance of this)."""
+    sh = dd.SHINGLE_LEN
+    return f"""
+    shingles AS (
+      SELECT DISTINCT {id_col} AS doc_id,
+             unnest([substr({text_col}, CAST(i AS INT), {sh})
+                     for i in generate_series(1, len({text_col}) - {sh - 1})]) AS shingle
+      FROM {table}
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(dd.N_MINHASH))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, md5(concat(mh{2*b}, mh{2*b+1})) AS band_key FROM sigs"
+          for b in range(dd.N_BANDS)
+      )}
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+
+@_register(
+    "transcript_neardup",
+    f"""
+    WITH flows AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS flow
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT min(user_id) AS user_id, flow FROM flows GROUP BY flow
+    ),
+    {_lsh_ctes_over("reps", "user_id", "flow")}
+    SELECT doc_a AS user_a, doc_b AS user_b FROM lsh_pairs
+    """,
+    tags="CONVERSATION-level near-dup: assemble each transcript in stable turn "
+         "order, exact-collapse identical flows, then MinHash-LSH the distinct "
+         "flows — dedup at the unit a training pipeline actually samples",
+)
+def transcript_neardup(spark, sf_dir):
+    """Whole-conversation near-duplicate candidates: render each
+    user's event flow in stable (ts, event_id) order (one hash agg —
+    the same single-shuffle assembly as events_transcript_render),
+    EXACT-collapse identical flows to their min-id representative, and
+    only then run the shingle→minhash→band pipeline over the distinct
+    flows. The collapse is the scale guard: identical trivial
+    conversations (every corpus has millions) would otherwise form
+    full O(c²) cliques inside their LSH buckets; after it, the exact
+    tier owns identical content and LSH sees each flow once. The band
+    join stays the proven bucketed equi-join — never all-pairs — the
+    shape that survives 10^9 conversations."""
+    e = load(spark, sf_dir, "events")
+    turn = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    flows = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["event_type"]),
+            ">",
+        ).alias("flow")
+    )
+    reps = flows.groupBy("flow").agg(F.min("user_id").alias("user_id"))
+    pairs = dd.dedup_minhash_lsh(reps, text_col="flow", id_col="user_id")
+    return pairs.select(
+        F.col("doc_a").alias("user_a"), F.col("doc_b").alias("user_b")
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]
