@@ -17,6 +17,8 @@ idempotent command surface::
         rebucket  --target DIR --new-buckets N   # bucket-layout evolution
         history   --target DIR                   # snapshot versions
         schema-history --target DIR              # schema-evolution timeline
+        files     --target DIR [--version V]     # per-file metadata table
+                                                 # (Iceberg `files` analog)
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         rollback  --target DIR --to-version V    # metadata-only undo
         mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
@@ -30,7 +32,8 @@ idempotent command surface::
         lag       --changes DIR --checkpoint DIR # backlog gauge (no JVM)
         archive   --changes DIR --checkpoint DIR --dest DIR|--delete
                                                  # binlog retention (no JVM)
-        export    --target DIR --dest DIR [--version V | --as-of ISO_TS] [--since ISO_TS]
+        export    --target DIR --dest DIR [--version V | --as-of ISO_TS]
+                  [--since ISO_TS] [--zorder X,Y [--zorder-files N]]
         rename-column --target DIR --from C --to C2
         delete    --target DIR --where SQL       # predicate DML via the merge
         update    --target DIR --where SQL --set COL=EXPR ...
@@ -325,6 +328,20 @@ def cmd_history(spark, args) -> int:
     return 0
 
 
+def cmd_files(spark, args) -> int:
+    """Iceberg `files` metadata-table analog: one JSON line per live
+    data file of a snapshot (bucket, base/delta kind, size, row count,
+    ts/key zone-map ranges, bloom presence) — assembled metadata-only
+    from the manifest + sidecars, no data reads. The operator's view
+    for spotting delta buildup, size skew, or stats gaps."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    for r in sink.files_df(version=args.version).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_schema_history(spark, args) -> int:
     """One JSON line per snapshot whose schema differs from its
     predecessor: the table's evolution timeline (added columns, type
@@ -408,7 +425,20 @@ def cmd_export(spark, args) -> int:
         df = sink.scan_since(args.since, version=version)
     else:
         df = sink.read_table(version=version)
-    df.write.mode("error").parquet(args.dest)
+    if getattr(args, "zorder", None):
+        # OPTIMIZE ZORDER BY on the way out: cluster the export on the
+        # z-curve over two expressions so downstream box predicates
+        # (e.g. time × conversation) prune files instead of scanning
+        import os as _os
+
+        from oec_etl_spark.operators.layout import write_zordered
+
+        if _os.path.exists(args.dest):  # keep plain export's mode("error") contract
+            raise FileExistsError(f"export dest already exists: {args.dest}")
+        x, y = (s.strip() for s in args.zorder.split(",", 1))
+        write_zordered(df, args.dest, x, y, n_files=args.zorder_files)
+    else:
+        df.write.mode("error").parquet(args.dest)
     n = spark.read.parquet(args.dest).count()
     print(json.dumps({
         "dest": args.dest, "rows": n,
@@ -755,7 +785,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="oec_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
-                 "changelog", "rebucket", "history", "schema-history", "stats", "describe",
+                 "changelog", "rebucket", "history", "schema-history", "files",
+                 "stats", "describe",
                  "vacuum", "rollback", "mview", "index", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
                  "delete", "update", "truncate", "requeue",
@@ -881,6 +912,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "clone":
             sp.add_argument("--dest", required=True)
             sp.add_argument("--version", type=int, default=None)
+        if name == "files":
+            sp.add_argument("--version", type=int, default=None,
+                            help="snapshot to list (default: head)")
         if name == "consume":
             sp.add_argument("--cursor", required=True, help="consumer name")
             sp.add_argument("--out", default=None, metavar="DIR",
@@ -920,6 +954,11 @@ def main(argv: list[str] | None = None) -> int:
                             help="only rows with ts >= this horizon, via the "
                             "zone-map-pruned scan (skips files whose footer "
                             "stats prove them older)")
+            sp.add_argument("--zorder", default=None, metavar="X_EXPR,Y_EXPR",
+                            help="cluster the export on the z-curve over two "
+                            "SQL expressions (OPTIMIZE ZORDER BY analog)")
+            sp.add_argument("--zorder-files", type=int, default=16,
+                            help="output file count for --zorder")
         if name == "purge":
             sp.add_argument("--key", action="append", required=True,
                             metavar="CONV_ID", help="conversation to erase "
@@ -1008,6 +1047,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_rebucket(spark, args)
         if args.cmd == "history":
             return cmd_history(spark, args)
+        if args.cmd == "files":
+            return cmd_files(spark, args)
         if args.cmd == "schema-history":
             return cmd_schema_history(spark, args)
         if args.cmd == "stats":

@@ -2604,5 +2604,44 @@ def transcript_neardup(spark, sf_dir):
     )
 
 
+_MIX_ALPHA = 0.5  # mixture temperature: 1 = proportional, 0 = uniform
+
+
+@_register(
+    "corpus_mixture_weights",
+    f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum({tx.n_tokens_sql('text')}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, tokens,
+           round(pow(tokens, {_MIX_ALPHA}) / sum(pow(tokens, {_MIX_ALPHA})) OVER (), 6) AS mix_weight
+    FROM s
+    """,
+    tags="training-mixture design: temperature-weighted domain sampling rates "
+         "(weight ∝ tokens^alpha, alpha=0.5) — the multilingual/domain "
+         "rebalancing rule used by large-corpus pretraining recipes",
+)
+def corpus_mixture_weights(spark, sf_dir):
+    """Per-source sampling weights for corpus mixing: token share
+    raised to a temperature alpha<1 upweights small domains without
+    letting any dominate. One map-side-combined aggregate over the
+    corpus; the unpartitioned normalization window runs over the
+    already-aggregated per-source rows (a handful), so the single-
+    partition window is O(#sources), never O(corpus)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.n_tokens(F.col("text"))).alias("tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.pow(F.col("tokens"), F.lit(_MIX_ALPHA))
+    return s.select(
+        "source", "n_docs", "tokens",
+        F.round(p / F.sum(p).over(w), 6).alias("mix_weight"),
+    )
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

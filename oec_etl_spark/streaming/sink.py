@@ -460,6 +460,92 @@ class ParquetSnapshotSink:
             self.n_buckets = int(man["n_buckets"])
 
     # ----------------------------------------------------- maintenance
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg ``table.files`` metadata-table analog: one row per
+        live data file of a snapshot, assembled purely from the
+        manifest + zone-map sidecars + a directory listing — no data
+        or footer reads, O(files) driver work. What an operator (or a
+        planner) asks before acting: which buckets are delta-heavy,
+        which files lack stats/blooms, where the size skew is. At
+        cluster scale this listing comes off the manifest store, not
+        the data store, so it stays cheap at 10^10 rows."""
+        man = self.load_manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        schema = T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("file", T.StringType()),
+                T.StructField("size_bytes", T.LongType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("ts_min_us", T.LongType()),
+                T.StructField("ts_max_us", T.LongType()),
+                T.StructField("key_min", T.StringType()),
+                T.StructField("key_max", T.StringType()),
+                T.StructField("has_bloom", T.BooleanType()),
+            ]
+        )
+        out: list[tuple] = []
+
+        def scan(d: str, bucket: int, kind: str) -> None:
+            if not os.path.isdir(d):
+                return
+            side: dict = {}
+            sp = os.path.join(d, FILESTATS)
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    side = json.load(f)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                st = side.get(fn) or {}
+                full = os.path.join(d, fn)
+                out.append(
+                    (
+                        bucket,
+                        kind,
+                        os.path.relpath(full, self.root),
+                        os.path.getsize(full),
+                        st.get("rows"),
+                        st.get("ts_min"),
+                        st.get("ts_max"),
+                        st.get("key_min"),
+                        st.get("key_max"),
+                        bool(st.get("bloom")),
+                    )
+                )
+
+        for b, vdir in man.get("buckets", {}).items():
+            scan(os.path.join(self.root, vdir, f"{META_BUCKET}={int(b)}"), int(b), "base")
+        for b, ddirs in man.get("deltas", {}).items():
+            for ddir in ddirs:
+                scan(os.path.join(self.root, ddir, f"{META_BUCKET}={int(b)}"), int(b), "delta")
+        return self.spark.createDataFrame(out, schema)
+
+    def snapshots_df(self) -> DataFrame:
+        """Iceberg ``table.snapshots`` metadata-table analog: one row
+        per committed (non-expired) version, from the manifest chain
+        alone."""
+        schema = T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("rows_applied", T.LongType()),
+                T.StructField("committed_at", T.DoubleType()),
+            ]
+        )
+        rows = [
+            (
+                int(h["version"]),
+                h["batch_id"],
+                h["rows_applied"],
+                h["committed_at"],
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def history(self) -> list[dict]:
         """All committed snapshot versions with their lineage summary —
         the analog of Iceberg's ``table.history()``/snapshots metadata."""
