@@ -23,7 +23,8 @@ idempotent command surface::
         rollback  --target DIR --to-version V    # metadata-only undo
         mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
         index     --target DIR --index DIR --kind ivf|minhash [--op sync|
-                  compact|probe|query]           # derived ANN / near-dup index
+                  compact|probe|query|stats]     # derived ANN / near-dup index
+                                                 # (stats = drift/balance gauge)
         branch    --target DIR --name B          # open a WAP staging branch
         audit     --target DIR [--branch B] [--expect NAME=PRED ...]
         publish   --target DIR --name B          # audit + fast-forward main
@@ -262,6 +263,10 @@ def cmd_index(spark, args) -> int:
             max_shingle_df=args.max_shingle_df,
         ).collect()
         print(json.dumps([r.asDict() for r in hits]))
+    elif args.op == "stats":
+        if args.kind != "ivf":
+            raise SystemExit("--op stats is an ivf-index operation")
+        print(json.dumps(view.stats()))
     elif args.op == "query":
         if args.kind != "ivf":
             raise SystemExit("--op query is an ivf-index operation")
@@ -972,7 +977,7 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--index", required=True, help="index state directory")
             sp.add_argument("--kind", required=True, choices=["ivf", "minhash"])
             sp.add_argument("--op", default="sync",
-                            choices=["sync", "compact", "probe", "query"])
+                            choices=["sync", "compact", "probe", "query", "stats"])
             sp.add_argument("--centroids", default=None, metavar="JSON_FILE",
                             help="ivf: [[id, [floats]], ...]")
             sp.add_argument("--embed-expr", default=None,

@@ -163,6 +163,21 @@ def pii_redact_sql(expr: str) -> str:
     return out
 
 
+def pii_redact_spark_sql(expr: str) -> str:
+    """Spark-SQL rendering of the same redaction chain (3-arg
+    regexp_replace replaces ALL matches; no 'g' flag in Spark). This
+    is the expression to hand to ``EngineConfig.derives`` /
+    ``--derive`` for ingest-time scrubbing: PII never reaches the
+    stored table, every downstream consumer (exports, change feed,
+    indexes) sees only redacted text, and the whole chain is one
+    codegen'd projection inside the existing pre-merge pass."""
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("\\", "\\\\")
+        out = f"regexp_replace({out}, '{p}', '{repl}')"
+    return out
+
+
 # --------------------------------------------- within-doc repetition metrics
 # Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1, public):
 # fraction of duplicate words / word-bigrams and mean word length over the

@@ -267,6 +267,55 @@ class IvfIndexView:
         )
         return out.orderBy(F.desc("cos"), *[F.asc(c) for c in self.keys]).limit(k)
 
+    # ------------------------------------------------------------ stats
+    def stats(self) -> dict:
+        """Index health gauge — the recluster signal. The stored
+        ``cos`` column IS each vector's similarity to its assigned
+        centroid, so staleness is measurable without recomputing
+        anything: as the corpus drifts away from the centroids the
+        live mean cos falls, and as hot topics grow the cluster-size
+        balance skews (both degrade nprobe recall). One column-pruned
+        scan of (keys, centroid_id, cos) over base+overlay — the same
+        amortized full-metadata pass compact() makes; run it on the
+        compaction cadence, not per batch.
+
+        Returns: n_vectors, n_dirty, mean_cos (live, 6dp),
+        per-cluster sizes (min/max/mean) and the max/mean balance
+        ratio, plus the pinned base_version/index_version."""
+        man = self._load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no built index under {self.path} — build() first")
+        base = self.spark.read.parquet(os.path.join(self.path, man["state_dir"])) \
+            .select(*self.keys, CENT_ID, "cos")
+        dirty = self._read_dirty(man)
+        n_dirty = 0
+        if dirty is not None:
+            n_dirty = dirty.count()
+            base = base.join(
+                F.broadcast(dirty.select(*self.keys)), on=list(self.keys), how="left_anti"
+            ).unionByName(
+                dirty.filter(F.col(_ALIVE)).select(*self.keys, CENT_ID, "cos")
+            )
+        per = base.groupBy(CENT_ID).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cos").alias("s")
+        )
+        rows = per.collect()
+        n_total = sum(r["n"] for r in rows)
+        sizes = [r["n"] for r in rows]
+        mean_cos = (sum(r["s"] for r in rows) / n_total) if n_total else None
+        mean_sz = (n_total / len(rows)) if rows else 0.0
+        return {
+            "index_version": man["index_version"],
+            "base_version": man["base_version"],
+            "n_vectors": n_total,
+            "n_dirty": n_dirty,
+            "n_clusters": len(rows),
+            "mean_cos": round(mean_cos, 6) if mean_cos is not None else None,
+            "cluster_min": min(sizes) if sizes else 0,
+            "cluster_max": max(sizes) if sizes else 0,
+            "balance_ratio": round(max(sizes) / mean_sz, 3) if rows and mean_sz else None,
+        }
+
     # ---------------------------------------------------------- compact
     def compact(self) -> dict:
         """Fold the overlay into the base index. Only partitions that

@@ -173,3 +173,37 @@ def test_query_plan_prunes_to_probed_partitions(spark, tmp_path):
     idx.build(sink)
     plan = idx.query(QVEC, nprobe=1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_stats_gauge_tracks_drift_and_balance(spark, tmp_path):
+    """stats() is consistent with the live index contents at every
+    stage (fresh build / dirty overlay / after compaction), and its
+    mean_cos equals the live rows' own mean — the recluster signal is
+    computed, not estimated."""
+    cfg, sink = _setup(spark, tmp_path, seed=77)
+    # slice 1: build the index at an early base version
+    with pytest.raises(Exception, match="injected failure"):
+        run_replay(spark, cfg, fail_after_batches=1)
+    idx = IvfIndexView(spark, str(tmp_path / "idx"), CENTROIDS, EMBED)
+    idx.build(sink)
+    s0 = idx.stats()
+    live0 = sink.read_table().count()
+    assert s0["n_vectors"] == live0 and s0["n_dirty"] == 0
+    assert s0["n_clusters"] >= 1 and s0["cluster_max"] >= s0["cluster_min"]
+    assert s0["balance_ratio"] >= 1.0
+    # replay the rest -> overlay grows, gauge stays exact
+    run_replay(spark, cfg)
+    idx.sync(sink)
+    s1 = idx.stats()
+    assert s1["n_dirty"] > 0
+    assert s1["n_vectors"] == sink.read_table().count()
+    # oracle the mean: recompute from a fresh full rebuild at head
+    ref = IvfIndexView(spark, str(tmp_path / "ref"), CENTROIDS, EMBED)
+    ref.build(sink)
+    assert abs(s1["mean_cos"] - ref.stats()["mean_cos"]) < 1e-6
+    # compaction folds the overlay; the gauge is unchanged except dirty
+    idx.compact()
+    s2 = idx.stats()
+    assert s2["n_dirty"] == 0
+    assert s2["n_vectors"] == s1["n_vectors"]
+    assert abs(s2["mean_cos"] - s1["mean_cos"]) < 1e-6
