@@ -75,6 +75,8 @@ def _cfg(args: argparse.Namespace) -> EngineConfig:
         max_files_per_trigger=args.max_files_per_trigger,
         files_per_bucket=args.files_per_bucket,
         key_bloom_bits=args.key_bloom_bits,
+        ttl_seconds=args.ttl_seconds,
+        ttl_advance_s=args.ttl_advance_s,
         quarantine_dir=args.quarantine,
         table_mode=args.table_mode,
         format=args.format,
@@ -853,6 +855,13 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--files-per-bucket", type=int, default=1,
                             help="sub-bucket write fan-out: spread each "
                             "bucket's rows over ~K tasks/files per write")
+            sp.add_argument("--ttl-seconds", type=float, default=None,
+                            help="event-time TTL: after each commit, advance "
+                            "the truncate horizon to max(event ts) - TTL "
+                            "(O(1) metadata; compaction reclaims)")
+            sp.add_argument("--ttl-advance-s", type=float, default=0.0,
+                            help="min horizon advance before cutting a new "
+                            "truncate version (throttles version churn)")
             sp.add_argument("--key-bloom-bits", type=int, default=None,
                             help="per-file conv_id bloom filters (bits/file) "
                             "in the zone-map sidecars: membership pruning "

@@ -62,6 +62,18 @@ class EngineConfig:
     # setting both is rejected — after a minor fold the delta count
     # drops to 1, so a count-based major trigger would never fire.
     minor_compact_after: int | None = None
+    # Event-time TTL retention inside the streaming loop: after each
+    # commit, advance the table's truncate horizon to
+    # (max event ts seen) - ttl_seconds. Anchored to EVENT time, never
+    # the wall clock, so a replay of the same log produces the same
+    # horizons (deterministic, checkpoint-safe). The advance is an O(1)
+    # metadata truncate (rows under the horizon die logically; the next
+    # compaction reclaims space); ttl_advance_s throttles how often a
+    # new snapshot version is cut for it (advance only when the horizon
+    # would move at least this much — long tails otherwise mint one
+    # truncate version per batch). None = no TTL.
+    ttl_seconds: float | None = None
+    ttl_advance_s: float = 0.0
     # Snapshot retention inside the streaming loop: after each commit,
     # expire all but the newest N snapshots (None = keep everything /
     # manual expire_snapshots() only). Long-running tails need this or

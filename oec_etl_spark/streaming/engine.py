@@ -294,6 +294,19 @@ def _build_query(
                         s.compact(due) if cfg.compact_after_deltas
                         else s.compact_minor(due, min_deltas=bound)
                     )
+            # event-time TTL: advance the truncate horizon to
+            # (max event ts) - ttl. Event-time anchored (replay-
+            # deterministic); the horizon read is metadata-only
+            # (zone-map sidecars); the advance is an O(1) metadata
+            # truncate; ttl_advance_s throttles version churn.
+            if cfg.ttl_seconds:
+                man = s.load_manifest()
+                zs = s.zonemap_summary()
+                if zs["ts_max_us"] is not None:
+                    new_hz = zs["ts_max_us"] - int(cfg.ttl_seconds * 1_000_000)
+                    cur_hz = int((man or {}).get("truncate_ts_us") or 0)
+                    if new_hz - cur_hz >= max(1, int(cfg.ttl_advance_s * 1_000_000)):
+                        s.truncate_before(new_hz / 1_000_000)
             # retention: a long-running tail must not accumulate
             # manifests / superseded data versions forever. Expiry never
             # deletes files a kept snapshot references, so readers of
