@@ -128,3 +128,30 @@ def test_ivf_topk_scan_prunes_to_probed_clusters(spark):
 def test_range_join_broadcasts_band_dim(spark):
     plan = _plan(REGISTRY["quantity_band_range_join"].build(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_map_only(spark):
+    """doc_chunk_windows must stay a single project+explode over the
+    scan — zero Exchange. At 100 TB the chunker runs at input-split
+    parallelism; any shuffle here would be a planning regression."""
+    plan = _plan(REGISTRY["doc_chunk_windows"].build(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_mixture_window_runs_over_aggregated_rows_only(spark):
+    """corpus_mixture_weights: the unpartitioned normalization window
+    must sit ABOVE the per-source hash aggregate (a handful of rows),
+    never over the raw corpus — i.e. exactly one pre-window shuffle,
+    the groupBy's, plus the window's own single-partition exchange."""
+    import re
+
+    plan = _plan(REGISTRY["corpus_mixture_weights"].build(spark, SF))
+    # formatted-mode node ids order the DETAIL section bottom-up:
+    # scan -> partial agg -> exchange -> final agg -> exchange(1) -> window
+    agg = min(int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan))
+    win = min(int(m) for m in re.findall(r"\((\d+)\) Window", plan))
+    assert agg < win, plan
+    # the window's own exchange is the single-partition one, and it sits
+    # between the final aggregate and the window — over #sources rows
+    assert "Arguments: SinglePartition" in plan
