@@ -44,6 +44,8 @@ idempotent command surface::
         stats     --target DIR                   # ops rollup (+--profile nulls)
 
     replay/resume/tail also take: --files-per-bucket K (write fan-out),
+    --key-bloom-bits M (per-file key blooms), --ttl-seconds S
+    [--ttl-advance-s T] (event-time TTL via the truncate horizon),
     --derive NAME=SQL (pre-merge transforms), --constraint NAME=PRED,
     --profile (per-batch null counts), --table-mode cow|mor, --branch B,
     --transactional [--tx-timeout-batches N] (atomic multi-event

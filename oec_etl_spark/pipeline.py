@@ -27,6 +27,9 @@ a mode. This module makes that a reviewable artifact:
       select: {actor_kind: actor_kind}
     archive_dir: done/      # in-loop binlog retention
     files_per_bucket: 4     # sub-bucket write fan-out
+    key_bloom_bits: 16384   # per-file key blooms in the zone-map sidecars
+    ttl_seconds: 2592000    # event-time TTL (truncate horizon trails max ts)
+    ttl_advance_s: 86400    # min horizon move per truncate version
     profile: true           # per-batch payload null counts in lineage
 
 Keys map 1:1 onto EngineConfig fields (a few CLI-style short names are
