@@ -430,10 +430,13 @@ def cmd_export(spark, args) -> int:
         version = sink.version_as_of(
             datetime.datetime.fromisoformat(args.as_of).timestamp()
         )
+    cols = [c.strip() for c in args.columns.split(",")] if getattr(args, "columns", None) else None
     if getattr(args, "since", None):
+        if cols:
+            raise SystemExit("--columns is not supported with --since")
         df = sink.scan_since(args.since, version=version)
     else:
-        df = sink.read_table(version=version)
+        df = sink.read_table(version=version, columns=cols)
     if getattr(args, "zorder", None):
         # OPTIMIZE ZORDER BY on the way out: cluster the export on the
         # z-curve over two expressions so downstream box predicates
@@ -970,6 +973,10 @@ def main(argv: list[str] | None = None) -> int:
                             help="only rows with ts >= this horizon, via the "
                             "zone-map-pruned scan (skips files whose footer "
                             "stats prove them older)")
+            sp.add_argument("--columns", default=None, metavar="C1,C2",
+                            help="export only these payload columns — the "
+                            "projection is pushed into the parquet scans, "
+                            "through the merge-on-read path")
             sp.add_argument("--zorder", default=None, metavar="X_EXPR,Y_EXPR",
                             help="cluster the export on the z-curve over two "
                             "SQL expressions (OPTIMIZE ZORDER BY analog)")

@@ -1424,19 +1424,42 @@ class ParquetSnapshotSink:
             )
         return out
 
-    def read_table(self, version: int | None = None) -> DataFrame:
+    def read_table(
+        self, version: int | None = None, columns: list[str] | None = None
+    ) -> DataFrame:
         """Committed snapshot: live rows, payload columns only.
         ``version`` reads an older snapshot (time travel) — readers are
         isolated because data files are immutable and manifests are
-        only ever added."""
+        only ever added.
+
+        ``columns`` pushes COLUMN PROJECTION through the merge-on-read
+        path: the parquet scans read only keys + LWW-order columns +
+        the requested payload (explicit pruned schema — `ReadSchema`
+        in the plan, not a post-merge select). On a transcript table
+        the `text` column IS most of the bytes, so a
+        `read_table(columns=["conv_id", "role"])` over dirty MOR
+        buckets skips the dominant IO *and* shrinks the reduce's
+        winner-join payload — the same reason the merge itself
+        aggregates a slim projection. Order of the returned columns
+        follows the request."""
         man = self.load_manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         if version is None:  # time-travel reads must not adopt an old layout
             self._sync_layout(man)
         schema = T.StructType.fromJson(man["schema"])
-        df = self._read_current(man, schema)
-        return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
+        if columns is None:
+            df = self._read_current(man, schema)
+            return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
+        have = {f.name for f in schema.fields}
+        unknown = [c for c in columns if c not in have]
+        if unknown:
+            raise ValueError(f"unknown columns {unknown}; table has {sorted(have)}")
+        # the reduce still needs keys + order columns even if unrequested
+        keep = set(columns) | set(KEY_COLUMNS) | {"ts"}
+        pruned = T.StructType([f for f in schema.fields if f.name in keep])
+        df = self._read_current(man, pruned)
+        return df.filter(~F.col(META_DELETED)).select(*columns)
 
     def _pruned_files(
         self, dirs: list[str], since_us: int, keep_null_ts: bool = False
