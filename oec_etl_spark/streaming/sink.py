@@ -1712,6 +1712,87 @@ class ParquetSnapshotSink:
             )
         return df.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
 
+    def lookup_many(self, conv_ids: list[str]) -> DataFrame:
+        """Batched point query — "fetch THESE conversations" (serving a
+        training batch by id, a support tool loading a case's threads).
+        Same pruning as ``lookup`` but amortized: ONE tiny JVM job
+        computes every key's bucket id + bloom probe hashes, files are
+        admitted per key and unioned per bucket (sound: each key's
+        containing files are all admitted, extra rows die in the isin
+        filter BEFORE the reduce), and each touched bucket is read
+        once. Degrades gracefully: a key list spanning every bucket
+        approaches a filtered full-table read — at that point use
+        ``read_table().join(keys)`` instead, and the docstring is the
+        API contract saying so."""
+        if not conv_ids:
+            man = self.load_manifest()
+            if man is None:
+                raise FileNotFoundError(f"no committed snapshot under {self.root}")
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(man["schema"])
+            )
+        man = self.load_manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self._sync_layout(man)
+        probe_rows = (
+            self.spark.createDataFrame([(k,) for k in conv_ids], "conv_id string")
+            .select(
+                "conv_id",
+                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(self.n_buckets))
+                .cast("int").alias("__b"),
+                *[
+                    F.xxhash64(F.col("conv_id"), F.lit(i)).alias(f"h{i}")
+                    for i in range(KEY_BLOOM_K)
+                ],
+            )
+            .collect()
+        )
+        by_bucket: dict[int, list] = {}
+        for r in probe_rows:
+            by_bucket.setdefault(r["__b"], []).append(r)
+        schema = T.StructType.fromJson(man["schema"])
+        store = storage_schema(schema)
+        dirty_set = {int(x) for x, dd in man.get("deltas", {}).items() if dd}
+        kept_total = files_total = 0
+        parts: list[DataFrame] = []
+        for b, entries in sorted(by_bucket.items()):
+            dirty = b in dirty_set
+            dirs = self._bucket_paths(man, [b])
+            if dirty:
+                dirs += self._delta_paths(man, [b])
+            files: set[str] = set()
+            for r in entries:
+                f, tot = self._key_pruned_files(
+                    dirs, r["conv_id"], [r[f"h{i}"] for i in range(KEY_BLOOM_K)]
+                )
+                files.update(f)
+            kept_total += len(files)
+            files_total += tot  # same denominator for every key in the bucket
+            if not files:
+                continue
+            keys_here = [r["conv_id"] for r in entries]
+            df = (
+                self.spark.read.schema(store).parquet(*sorted(files))
+                .filter(F.col("conv_id").isin(keys_here))
+            )
+            if dirty:
+                df = df.withColumn("__file", F.xxhash64(F.input_file_name()))
+                df = lww_reduce_hash(df, order=("ts", META_SEQ, "__file")).drop("__file")
+            parts.append(df)
+        self.last_lookup_files = (kept_total, files_total)
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        tr = int(man.get("truncate_ts_us") or 0)
+        if tr:
+            out = out.filter(
+                F.col("ts").isNull() | (F.col("ts") > F.timestamp_micros(F.lit(tr)))
+            )
+        return out.filter(~F.col(META_DELETED)).select(*[f.name for f in schema.fields])
+
     def _read_stored_as_changes(self, man: dict, schema: T.StructType, buckets: list[int]) -> DataFrame:
         """Affected buckets' current rows, lifted back into change shape
         so the merge is one LWW reduce over (old ∪ new)."""

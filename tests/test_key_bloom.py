@@ -173,3 +173,49 @@ def test_bloom_survives_compaction(spark, tmp_path):
     # compaction rewrote the fanned-out base: blooms re-harvested there
     assert kept_total < files_total, (kept_total, files_total)
     oracle.unpersist()
+
+
+def test_lookup_many_equals_per_key_lookups_and_prunes(spark, tmp_path):
+    _gen(tmp_path, n_conversations=60, max_turns=6, n_segments=2, seed=19)
+    replay_batch(
+        spark,
+        _cfg(tmp_path, n_buckets=2, files_per_bucket=4, key_bloom_bits=4096),
+    )
+    sink = _sink(spark, tmp_path, n_buckets=2, files_per_bucket=4, key_bloom_bits=4096)
+    oracle = _oracle(spark, tmp_path).cache()
+    keys = sorted(r[0] for r in oracle.select("conv_id").distinct().collect())[:8]
+    got = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in sink.lookup_many(keys).collect()
+    }
+    kept, total = sink.last_lookup_files
+    want = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in oracle.filter(F.col("conv_id").isin(keys)).collect()
+    }
+    assert got == want
+    assert 0 < kept < total  # blooms pruned within the touched buckets
+    # empty and missing keys behave
+    assert sink.lookup_many([]).count() == 0
+    assert sink.lookup_many(["conv-nope"]).count() == 0
+
+
+def test_lookup_many_on_mor_deltas(spark, tmp_path):
+    _gen(tmp_path, n_conversations=40, max_turns=5, n_segments=3, seed=29)
+    replay_batch(
+        spark,
+        _cfg(tmp_path, n_buckets=2, table_mode="mor", key_bloom_bits=2048),
+    )
+    sink = _sink(spark, tmp_path, n_buckets=2, table_mode="mor", key_bloom_bits=2048)
+    oracle = _oracle(spark, tmp_path).cache()
+    keys = sorted(r[0] for r in oracle.select("conv_id").distinct().collect())[:6]
+    got = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in sink.lookup_many(keys).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in oracle.filter(F.col("conv_id").isin(keys)).collect()
+    }
+    assert got == want
+    oracle.unpersist()
