@@ -432,9 +432,7 @@ def cmd_export(spark, args) -> int:
         )
     cols = [c.strip() for c in args.columns.split(",")] if getattr(args, "columns", None) else None
     if getattr(args, "since", None):
-        if cols:
-            raise SystemExit("--columns is not supported with --since")
-        df = sink.scan_since(args.since, version=version)
+        df = sink.scan_since(args.since, version=version, columns=cols)
     else:
         df = sink.read_table(version=version, columns=cols)
     if getattr(args, "zorder", None):

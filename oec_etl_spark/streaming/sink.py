@@ -1582,11 +1582,15 @@ class ParquetSnapshotSink:
         return {"files": files, "with_stats": with_stats, "with_bloom": with_bloom,
                 "ts_min_us": lo, "ts_max_us": hi}
 
-    def scan_since(self, since, version: int | None = None) -> DataFrame:
+    def scan_since(
+        self, since, version: int | None = None, columns: list[str] | None = None
+    ) -> DataFrame:
         """Time-horizon scan: live rows with ``ts >= since``, reading
         only files whose zone map says they CAN hold such rows (the
         "recent slice" read every incremental analytics / freshness job
-        issues).
+        issues). ``columns`` prunes the scan's ReadSchema the same way
+        ``read_table(columns=...)`` does — zone maps drop whole files,
+        the projection drops the text bytes of the files that remain.
 
         Soundness — why PRE-merge file pruning is legal here, and only
         for a lower ts bound: winners are chosen by the LWW order
@@ -1618,6 +1622,14 @@ class ParquetSnapshotSink:
         # ts >= since filter discards NULL-ts rows regardless
         since_us = max(since_us, int(man.get("truncate_ts_us") or 0) + 1)
         schema = T.StructType.fromJson(man["schema"])
+        out_cols = [f.name for f in schema.fields]
+        if columns is not None:
+            unknown = [c for c in columns if c not in set(out_cols)]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; table has {sorted(out_cols)}")
+            keep = set(columns) | set(KEY_COLUMNS) | {"ts"}
+            schema = T.StructType([f for f in schema.fields if f.name in keep])
+            out_cols = list(columns)
         store = storage_schema(schema)
         dirty = sorted(int(b) for b, dd in man.get("deltas", {}).items() if dd)
         clean = [int(b) for b in man.get("buckets", {}) if int(b) not in set(dirty)]
@@ -1638,14 +1650,14 @@ class ParquetSnapshotSink:
                     lww_reduce_hash(allrows, order=("ts", META_SEQ, "__file")).drop("__file")
                 )
         if not parts:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema).select(*out_cols)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return (
             out.filter(~F.col(META_DELETED))
             .filter(F.col("ts") >= F.timestamp_micros(F.lit(since_us)))
-            .select(*[f.name for f in schema.fields])
+            .select(*out_cols)
         )
 
     def changelog(

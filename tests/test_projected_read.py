@@ -69,3 +69,20 @@ def test_unknown_column_is_refused(spark, tmp_path):
     sink = _setup(spark, tmp_path)
     with pytest.raises(ValueError, match="unknown columns"):
         sink.read_table(columns=["conv_id", "nope"])
+
+
+def test_scan_since_projection(spark, tmp_path):
+    sink = _setup(spark, tmp_path, table_mode="mor")
+    full = sink.read_table()
+    # pick a horizon that keeps roughly the newer half
+    mid = full.selectExpr("percentile(unix_micros(ts), 0.5)").first()[0]
+    since = float(mid) / 1_000_000
+    want = sink.scan_since(since).select("conv_id", "role")
+    got = sink.scan_since(since, columns=["conv_id", "role"])
+    assert got.columns == ["conv_id", "role"]
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    plan = _plan(got)
+    assert "text" not in plan and "tool" not in plan
+    # future horizon: empty frame, projected schema
+    empty = sink.scan_since(4102444800.0, columns=["role"])
+    assert empty.columns == ["role"] and empty.count() == 0
