@@ -230,3 +230,33 @@ def test_replay_batch_transactional_holds_incomplete_tail(spark, tmp_path):
     replay_batch(spark, cfg)
     sink = ParquetSnapshotSink(spark, cfg.target_dir, 16)
     assert _state(sink) == {("a", 0): "auto"}  # truncated-log tail held
+
+
+def test_tx_with_routed_fanout_crash_resume(spark, tmp_path):
+    """Transactions + routed fan-out + a mid-routes crash: a released
+    transaction's events flow to every route in the same batch; a crash
+    after route A committed but before B redelivers the batch, A skips
+    via its epoch guard, B applies — no target ever ends torn and the
+    union of targets equals the single-target oracle."""
+    gen = str(tmp_path / "changes")
+    generate_changelog(GeneratorConfig(
+        out_dir=gen, seed=17, n_conversations=50, n_segments=6,
+        tx_rate=0.4, tx_max_events=4, duplicate_rate=0.08))
+    even = "CAST(substr(conv_id, length(conv_id), 1) AS INT) % 2 = 0"
+    cfg = _cfg(tmp_path, max_files_per_trigger=2,
+               routes={"even": even, "rest": "*"})
+    with pytest.raises(Exception):
+        run_replay(spark, cfg, fail_after_batches=3)  # dies mid-batch 2
+    run_replay(spark, cfg)  # resume through gate + routes
+    oracle = materialize(
+        spark.read.schema(CHANGE_SCHEMA).parquet(f"{gen}/*.parquet")
+    )
+    want = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+            for r in oracle.collect()}
+    e = ParquetSnapshotSink(spark, f"{cfg.target_dir}/even", 16).read_table()
+    r = ParquetSnapshotSink(spark, f"{cfg.target_dir}/rest", 16).read_table()
+    assert e.filter(~F.expr(even)).count() == 0
+    assert r.filter(F.expr(even)).count() == 0
+    got = {(x["conv_id"], x["turn_idx"]): (x["role"], x["text"])
+           for x in e.unionByName(r).collect()}
+    assert got == want
