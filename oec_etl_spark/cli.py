@@ -19,6 +19,8 @@ idempotent command surface::
         schema-history --target DIR              # schema-evolution timeline
         files     --target DIR [--version V]     # per-file metadata table
                                                  # (Iceberg `files` analog)
+        lookup    --target DIR --key CONV_ID [--key ...] [--turn N]
+                                                 # pruned point read, JSON lines
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         rollback  --target DIR --to-version V    # metadata-only undo
         mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
@@ -334,6 +336,35 @@ def cmd_history(spark, args) -> int:
 
     for h in ParquetSnapshotSink(spark, args.target, args.buckets).history():
         print(json.dumps(h))
+    return 0
+
+
+def cmd_lookup(spark, args) -> int:
+    """Operational point read: fetch one conversation (or one turn) as
+    JSON lines, via the bucket-pruned + zone-map/bloom-pruned path —
+    plus a `pruning` summary line on stderr so an operator can see the
+    file-skipping working. Multiple --key values batch through
+    lookup_many (one probe job, one scan per touched bucket)."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    # reader side needs no bloom knob: probes are always computed and
+    # pruning follows whatever bitmaps the sidecars recorded
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    if len(args.key) == 1:
+        df = sink.lookup(args.key[0], turn_idx=args.turn)
+    else:
+        if args.turn is not None:
+            raise SystemExit("--turn is only valid with a single --key")
+        df = sink.lookup_many(args.key)
+    rows = df.orderBy("conv_id", "turn_idx").collect()
+    for r in rows:
+        d = r.asDict()
+        if d.get("ts") is not None:
+            d["ts"] = d["ts"].isoformat()
+        print(json.dumps(d))
+    kept, total = sink.last_lookup_files
+    print(json.dumps({"pruning": {"files_read": kept, "files_total": total},
+                      "rows": len(rows)}), file=sys.stderr)
     return 0
 
 
@@ -796,7 +827,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "files",
-                 "stats", "describe",
+                 "lookup", "stats", "describe",
                  "vacuum", "rollback", "mview", "index", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
                  "delete", "update", "truncate", "requeue",
@@ -932,6 +963,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "files":
             sp.add_argument("--version", type=int, default=None,
                             help="snapshot to list (default: head)")
+        if name == "lookup":
+            sp.add_argument("--key", action="append", required=True,
+                            metavar="CONV_ID", help="conversation id "
+                            "(repeatable: batched via lookup_many)")
+            sp.add_argument("--turn", type=int, default=None,
+                            help="single turn_idx (one --key only)")
         if name == "consume":
             sp.add_argument("--cursor", required=True, help="consumer name")
             sp.add_argument("--out", default=None, metavar="DIR",
@@ -1070,6 +1107,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_history(spark, args)
         if args.cmd == "files":
             return cmd_files(spark, args)
+        if args.cmd == "lookup":
+            return cmd_lookup(spark, args)
         if args.cmd == "schema-history":
             return cmd_schema_history(spark, args)
         if args.cmd == "stats":

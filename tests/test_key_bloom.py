@@ -219,3 +219,24 @@ def test_lookup_many_on_mor_deltas(spark, tmp_path):
     }
     assert got == want
     oracle.unpersist()
+
+
+def test_lookup_cli(spark, tmp_path, monkeypatch, capsys):
+    _gen(tmp_path, n_conversations=20, max_turns=4, n_segments=1, seed=3)
+    replay_batch(spark, _cfg(tmp_path, n_buckets=2, key_bloom_bits=1024))
+    from oec_etl_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    oracle = _oracle(spark, tmp_path)
+    k1, k2 = sorted(r[0] for r in oracle.select("conv_id").distinct().collect())[:2]
+    assert cli.main(["lookup", "--target", str(tmp_path / "target"),
+                     "--buckets", "2", "--key", k1, "--key", k2]) == 0
+    import json as _json
+
+    out = [
+        _json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {r["conv_id"] for r in out} == {k1, k2}
+    want = oracle.filter(F.col("conv_id").isin([k1, k2])).count()
+    assert len(out) == want
