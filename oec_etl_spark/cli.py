@@ -21,6 +21,8 @@ idempotent command surface::
                                                  # (Iceberg `files` analog)
         lookup    --target DIR --key CONV_ID [--key ...] [--turn N]
                                                  # pruned point read, JSON lines
+        doctor    --target DIR                   # read-only health check
+                                                 # (refs, storage, orphans, stats)
         vacuum    --target DIR [--older-than-s S]  # crash-orphan cleanup
         rollback  --target DIR --to-version V    # metadata-only undo
         mview     --target DIR --view DIR --keys K[,K] [--sum NAME=EXPR ...]
@@ -366,6 +368,16 @@ def cmd_lookup(spark, args) -> int:
     print(json.dumps({"pruning": {"files_read": kept, "files_total": total},
                       "rows": len(rows)}), file=sys.stderr)
     return 0
+
+
+def cmd_doctor(spark, args) -> int:
+    """Read-only table health check: ref/storage integrity, orphan
+    count, stats/bloom coverage — one JSON line, exit 1 on issues."""
+    from oec_etl_spark.streaming.sink import ParquetSnapshotSink
+
+    rep = ParquetSnapshotSink(spark, args.target, args.buckets).fsck()
+    print(json.dumps(rep))
+    return 0 if rep["ok"] else 1
 
 
 def cmd_files(spark, args) -> int:
@@ -827,7 +839,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("replay", "resume", "tail", "verify", "lineage", "compact",
                  "changelog", "rebucket", "history", "schema-history", "files",
-                 "lookup", "stats", "describe",
+                 "lookup", "doctor", "stats", "describe",
                  "vacuum", "rollback", "mview", "index", "clone", "purge", "consume", "run",
                  "drop-column", "rename-column", "lag", "archive", "export",
                  "delete", "update", "truncate", "requeue",
@@ -1109,6 +1121,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_files(spark, args)
         if args.cmd == "lookup":
             return cmd_lookup(spark, args)
+        if args.cmd == "doctor":
+            return cmd_doctor(spark, args)
         if args.cmd == "schema-history":
             return cmd_schema_history(spark, args)
         if args.cmd == "stats":

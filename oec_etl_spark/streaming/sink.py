@@ -663,6 +663,114 @@ class ParquetSnapshotSink:
             deleted.append(rel)
         return deleted
 
+    def fsck(self) -> dict:
+        """Read-only table health check (CLI ``doctor``) — everything an
+        operator wants to know before trusting or repairing a table,
+        from metadata alone (no data reads, no mutations):
+
+        - ref integrity: CURRENT / every branch ref / every tag points
+          at an existing manifest;
+        - storage integrity: every dir a retained manifest references
+          exists and holds at least one data file;
+        - orphans: data version-dirs no manifest references (crashed
+          writers — ``vacuum`` candidates), counted not deleted;
+        - stats coverage: zone-map / bloom sidecar coverage (pruning
+          blind spots);
+        - chain shape: retained version count, committed-batch count,
+          truncate horizon.
+
+        Returns {"ok": bool, "issues": [str...], ...summary}. A healthy
+        table returns ok=True with an empty issue list; nothing here
+        ever writes."""
+        issues: list[str] = []
+        mdir = os.path.join(self.root, "_manifests")
+        names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+        manifests: dict[str, dict] = {}
+        for n in names:
+            try:
+                with open(os.path.join(mdir, n)) as f:
+                    manifests[n] = json.load(f)
+            except (OSError, json.JSONDecodeError) as e:
+                issues.append(f"unreadable manifest {n}: {e}")
+        # ref integrity
+        head = None
+        ptr = self._current_pointer()
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                head = int(json.load(f)["version"])
+            if f"manifest-{head:06d}.json" not in manifests:
+                issues.append(f"CURRENT points at missing manifest v{head}")
+        elif names:
+            issues.append("manifests exist but CURRENT pointer is absent")
+        # branch/tag checks must survive the very damage they look for
+        # (tags live in the head manifest, which may itself be dangling)
+        try:
+            branches = self.branches()
+        except (OSError, json.JSONDecodeError, FileNotFoundError):
+            branches = {}
+            issues.append("branch refs unreadable")
+        for bname, ref in branches.items():
+            if f"manifest-{int(ref['version']):06d}.json" not in manifests:
+                issues.append(f"branch {bname!r} head v{ref['version']} manifest missing")
+        try:
+            tags = self.tags()
+        except FileNotFoundError:
+            tags = {}  # dangling CURRENT already reported above
+        for tname, v in tags.items():
+            if f"manifest-{int(v):06d}.json" not in manifests:
+                issues.append(f"tag {tname!r} manifest v{v} missing")
+        # storage integrity + sidecar coverage over the head manifest
+        referenced: set[str] = set()
+        bucket_dirs: set[str] = set()  # per-bucket dirs, the real data units
+        for man in manifests.values():
+            for b, vdir in man.get("buckets", {}).items():
+                referenced.add(vdir)
+                bucket_dirs.add(os.path.join(vdir, f"{META_BUCKET}={int(b)}"))
+            for b, ddirs in man.get("deltas", {}).items():
+                referenced.update(ddirs)
+                bucket_dirs.update(
+                    os.path.join(d, f"{META_BUCKET}={int(b)}") for d in ddirs
+                )
+        for rel in sorted(bucket_dirs):
+            full = os.path.join(self.root, rel)
+            if not os.path.isdir(full):
+                issues.append(f"referenced data dir missing: {rel}")
+            elif not any(fn.endswith(".parquet") for fn in os.listdir(full)):
+                issues.append(f"referenced data dir holds no data files: {rel}")
+        files = with_stats = with_bloom = 0
+        if head is not None and f"manifest-{head:06d}.json" in manifests:
+            try:
+                zs = self.zonemap_summary(head)
+                files, with_stats, with_bloom = (
+                    zs["files"], zs["with_stats"], zs["with_bloom"]
+                )
+                if files == 0 and manifests[f"manifest-{head:06d}.json"].get("buckets"):
+                    issues.append("head manifest references buckets but no data files found")
+            except FileNotFoundError as e:
+                issues.append(str(e))
+        # orphans (count only — vacuum deletes)
+        data_root = os.path.join(self.root, "data")
+        orphans = [
+            f"data/{d}"
+            for d in (sorted(os.listdir(data_root)) if os.path.isdir(data_root) else [])
+            if f"data/{d}" not in referenced
+        ]
+        head_man = manifests.get(f"manifest-{head:06d}.json", {}) if head is not None else {}
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "head_version": head,
+            "retained_versions": len(manifests),
+            "committed_batches": len(head_man.get("committed_batches", [])),
+            "truncate_ts_us": head_man.get("truncate_ts_us"),
+            "data_files": files,
+            "files_with_stats": with_stats,
+            "files_with_bloom": with_bloom,
+            "orphan_dirs": len(orphans),
+            "branches": sorted(branches),
+            "tags": sorted(tags),
+        }
+
     def compact(
         self, buckets: list[int] | None = None, tombstone_horizon: object = None,
         ts_split_files: int = 1,
