@@ -1,0 +1,234 @@
+"""Kitchen-sink composition soak: every engine feature at once vs plain.
+
+The per-feature tests prove each knob alone; this soak proves the
+STACK composes — the realistic production config is "most knobs on",
+and feature interactions (tx gate × MOR deltas × in-loop minor
+compaction × TTL versioning × watermark dedup × derives/enrich ×
+profile × blooms × sorted fan-out writes × in-loop index sync ×
+archive retention × snapshot expiry) are exactly where composition
+bugs live. Two replays of the SAME seeded change log:
+
+  A (control): all defaults — cow, hash merge, single AvailableNow
+     batch, nothing optional.
+  B (kitchen sink): transactional MOR with in-loop minor compaction,
+     watermark dedup, a no-op-on-core-columns constraint, an added
+     derive column, a broadcast enrich column, key blooms, sorted
+     2-way fan-out writes, per-batch null profiling, metrics +
+     quarantine side outputs, TTL (wider than the data's event-time
+     span, so it versions but drops nothing), snapshot expiry,
+     in-loop MinHash + IVF index sync, and committed-segment
+     archiving — replayed in many small micro-batches so transactions
+     straddle batch boundaries.
+
+Every enabled knob is chosen to be SEMANTICS-PRESERVING on the core
+transcript columns, so the gate is exact: both final tables must be
+row-identical on (conv_id, turn_idx, role, text, tool, ts), B's
+doctor/fsck must come back ok, B's derived/enriched columns must be
+present and consistent, and both in-loop indexes must exist. Wall
+times are recorded as indicative only (the soak is a correctness
+gate, not a benchmark — see BENCH/BASELINE.md for measurement
+policy).
+
+Run: python scripts/soak_kitchen_sink.py [n_conversations]
+Writes BENCH/soak_latest.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from oec_etl_spark.config import EngineConfig  # noqa: E402
+from oec_etl_spark.generate import GeneratorConfig, generate_changelog  # noqa: E402
+from oec_etl_spark.session import get_spark  # noqa: E402
+from oec_etl_spark.streaming.engine import run_replay  # noqa: E402
+from oec_etl_spark.streaming.sink import ParquetSnapshotSink  # noqa: E402
+
+CORE = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def main() -> int:
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
+    work = tempfile.mkdtemp(prefix="oec_soak_")
+    spark = get_spark(master="local[16]")
+
+    # Same seeded log generated twice (generation is deterministic and
+    # the sink run archives its segments, so each run owns its copy).
+    gen = dict(
+        seed=4242,
+        n_conversations=n_conv,
+        n_segments=24,
+        update_ratio=0.8,
+        delete_ratio=0.05,
+        patch_ratio=0.05,
+        duplicate_rate=0.08,
+        malformed_rate=0.01,
+        tx_rate=0.4,
+    )
+    meta_a = generate_changelog(GeneratorConfig(out_dir=f"{work}/changes_a", **gen))
+    generate_changelog(GeneratorConfig(out_dir=f"{work}/changes_b", **gen))
+    n_events = meta_a["events_written"]
+
+    # tiny enrich dim, unique on its key
+    spark.createDataFrame(
+        [("user", 1), ("assistant", 2), ("system", 3), ("tool", 4)],
+        "role_key string, role_rank int",
+    ).write.parquet(f"{work}/dim_roles")
+
+    cfg_a = EngineConfig(
+        changes_dir=f"{work}/changes_a",
+        target_dir=f"{work}/target_a",
+        checkpoint_dir=f"{work}/ckpt_a",
+        quarantine_dir=f"{work}/q_a",
+    )
+    cfg_b = EngineConfig(
+        changes_dir=f"{work}/changes_b",
+        target_dir=f"{work}/target_b",
+        checkpoint_dir=f"{work}/ckpt_b",
+        quarantine_dir=f"{work}/q_b",
+        metrics_path=f"{work}/metrics_b.jsonl",
+        max_files_per_trigger=3,  # many micro-batches: txs straddle
+        transactional=True,
+        tx_timeout_batches=None,  # complete log => nothing may time out
+        table_mode="mor",
+        minor_compact_after=4,
+        expire_keep_last=8,
+        ttl_seconds=10 * 365 * 86400.0,  # wider than the data span: versions, drops nothing
+        ttl_advance_s=3600.0,
+        dedup_watermark="365 days",  # >> generator disorder bound: drops nothing
+        files_per_bucket=2,
+        write_sorted=True,
+        key_bloom_bits=16384,
+        profile=True,
+        constraints={"key_present": "conv_id IS NOT NULL"},  # subsumed by quarantine: no-op
+        derives={"text_len": "length(text)"},  # NEW column: core untouched
+        enrich={
+            "path": f"{work}/dim_roles",
+            "key": "role",
+            "dim_key": "role_key",
+            "select": {"role_rank": "role_rank"},
+        },
+        indexes=[
+            {
+                "kind": "minhash",
+                "path": f"{work}/idx_mh",
+            },
+            {
+                "kind": "ivf",
+                "path": f"{work}/idx_ivf",
+                "centroids": [[0, [1.0, 0.0]], [1, [0.0, 1.0]]],
+                "embed_expr": "array(cast(length(text) as double), cast(turn_idx as double))",
+            },
+        ],
+        archive_dir=f"{work}/archive_b",
+    )
+
+    t0 = time.time()
+    recs_a = run_replay(spark, cfg_a)
+    wall_a = time.time() - t0
+    t0 = time.time()
+    recs_b = run_replay(spark, cfg_b)
+    wall_b = time.time() - t0
+
+    sink_a = ParquetSnapshotSink(spark, cfg_a.target_dir, cfg_a.n_buckets)
+    sink_b = ParquetSnapshotSink(spark, cfg_b.target_dir, cfg_b.n_buckets)
+    ta = sink_a.read_table().select(*CORE)
+    tb_full = sink_b.read_table()
+    tb = tb_full.select(*CORE)
+
+    checks: dict[str, object] = {}
+    checks["rows_a"] = ta.count()
+    checks["rows_b"] = tb.count()
+    checks["core_equal"] = (
+        ta.exceptAll(tb).isEmpty() and tb.exceptAll(ta).isEmpty()
+    )
+    extra_cols = set(tb_full.columns) - set(CORE)
+    checks["b_extra_columns"] = sorted(extra_cols)
+    checks["derive_consistent"] = (
+        tb_full.filter(
+            F.col("text").isNotNull() & (F.col("text_len") != F.length("text"))
+        ).isEmpty()
+        if "text_len" in extra_cols
+        else False
+    )
+    checks["enrich_consistent"] = (
+        tb_full.filter(
+            F.col("role").isin("user", "assistant", "system", "tool")
+            & F.col("role_rank").isNull()
+        ).isEmpty()
+        if "role_rank" in extra_cols
+        else False
+    )
+    fsck = sink_b.fsck()
+    checks["doctor_ok"] = fsck.get("ok")
+    checks["doctor_issues"] = fsck.get("issues")
+    checks["indexes_exist"] = all(
+        os.path.exists(os.path.join(p, "MANIFEST.json"))
+        for p in (f"{work}/idx_mh", f"{work}/idx_ivf")
+    )
+    checks["archived_segments"] = len(
+        [f for f in os.listdir(f"{work}/archive_b") if not f.startswith("_")]
+        if os.path.isdir(f"{work}/archive_b")
+        else []
+    )
+    checks["batches_a"] = len(recs_a)
+    checks["batches_b"] = len(recs_b)
+    checks["snapshots_b_retained"] = len(sink_b.history())
+
+    ok = bool(
+        checks["core_equal"]
+        and checks["doctor_ok"]
+        and checks["derive_consistent"]
+        and checks["enrich_consistent"]
+        and checks["indexes_exist"]
+        and checks["rows_a"] == checks["rows_b"]
+        and checks["rows_a"] > 0
+    )
+
+    md = [
+        "# Kitchen-sink composition soak (latest run)",
+        "",
+        "Same seeded change log replayed twice — plain defaults vs every",
+        "semantics-preserving feature enabled at once (see",
+        "`scripts/soak_kitchen_sink.py` for the exact config). Gate: final",
+        "tables row-identical on the core transcript columns; doctor ok;",
+        "derive/enrich columns consistent; in-loop indexes present.",
+        "",
+        f"- conversations: {n_conv:,}; delivered events: {n_events:,}",
+        f"- batches: plain {checks['batches_a']}, kitchen-sink {checks['batches_b']} (maxFilesPerTrigger=3, transactions straddle)",
+        f"- rows: plain {checks['rows_a']:,}, kitchen-sink {checks['rows_b']:,}",
+        f"- core columns row-identical: **{checks['core_equal']}**",
+        f"- kitchen-sink extra columns: {checks['b_extra_columns']} (derive+enrich, schema-evolved in)",
+        f"- derive consistent: {checks['derive_consistent']}; enrich consistent: {checks['enrich_consistent']}",
+        f"- doctor ok: {checks['doctor_ok']} (issues: {checks['doctor_issues']})",
+        f"- in-loop indexes (minhash, ivf) materialized: {checks['indexes_exist']}",
+        f"- committed segments archived by in-loop retention: {checks['archived_segments']}",
+        f"- snapshots retained after expiry (keep_last=8): {checks['snapshots_b_retained']}",
+        f"- wall (indicative only, not a benchmark): plain {wall_a:.1f}s, kitchen-sink {wall_b:.1f}s ({wall_b / wall_a:.2f}x)",
+        "",
+        f"**VERDICT: {'PASS' if ok else 'FAIL'}**",
+    ]
+    out = os.path.join(REPO, "BENCH", "soak_latest.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("\n".join(md))
+    print(json.dumps({"ok": ok, "wall_a": wall_a, "wall_b": wall_b}))
+    spark.stop()
+    if ok:
+        shutil.rmtree(work, ignore_errors=True)
+    else:
+        print(f"kept workdir for debugging: {work}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
