@@ -153,7 +153,8 @@ def cmd_verify(spark, args) -> int:
     from oec_etl_spark.streaming.engine import quarantine_split
     from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
-    table = ParquetSnapshotSink(spark, args.target, args.buckets).read_table()
+    sink = ParquetSnapshotSink(spark, args.target, args.buckets)
+    table = sink.read_table()
     # read via format().load() exactly as run_replay does, so a
     # json-format change log verifies instead of reading zero files
     raw = spark.read.schema(CHANGE_SCHEMA).format(args.format).load(args.changes)
@@ -177,6 +178,17 @@ def cmd_verify(spark, args) -> int:
         )
     valid, _ = quarantine_split(raw)
     oracle = materialize(valid)
+    # a committed truncate/TTL horizon is table state, not drift: gate
+    # the oracle exactly as the merge does (ts <= horizon dead, NULL-ts
+    # retained) or every TTL'd table reads as a spurious diff
+    hz = (sink.load_manifest() or {}).get("truncate_ts_us")
+    if hz:
+        from pyspark.sql import functions as F
+
+        oracle = oracle.filter(
+            F.col("ts").isNull()
+            | (F.unix_micros("ts") > F.lit(int(hz)))
+        )
     cols = sorted(table.columns)
     diff = (
         table.select(*cols).exceptAll(oracle.select(*cols)).count()

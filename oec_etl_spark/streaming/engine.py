@@ -306,7 +306,7 @@ def _build_query(
                     new_hz = zs["ts_max_us"] - int(cfg.ttl_seconds * 1_000_000)
                     cur_hz = int((man or {}).get("truncate_ts_us") or 0)
                     if new_hz - cur_hz >= max(1, int(cfg.ttl_advance_s * 1_000_000)):
-                        s.truncate_before(new_hz / 1_000_000)
+                        s.truncate_before(int(new_hz))  # integer µs, exact
             # retention: a long-running tail must not accumulate
             # manifests / superseded data versions forever. Expiry never
             # deletes files a kept snapshot references, so readers of

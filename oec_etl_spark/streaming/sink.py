@@ -294,6 +294,17 @@ class ParquetSnapshotSink:
         base = os.path.join(self.root, vdir)
         if not os.path.isdir(base):
             return
+        # An empty write (e.g. a MOR batch whose rows all fell under the
+        # truncate/TTL horizon) leaves only _SUCCESS behind; reading it
+        # raises UNABLE_TO_INFER_SCHEMA and — because the checkpoint
+        # replays the batch — wedges the stream in a crash loop. No data
+        # files → nothing to bloom.
+        if not any(
+            fn.endswith(".parquet")
+            for _, _, fns in os.walk(base)
+            for fn in fns
+        ):
+            return
         probes = F.array(*[
             F.pmod(F.xxhash64(F.col("conv_id"), F.lit(i)), F.lit(m)).cast("int")
             for i in range(k)
@@ -696,9 +707,14 @@ class ParquetSnapshotSink:
         head = None
         ptr = self._current_pointer()
         if os.path.exists(ptr):
-            with open(ptr) as f:
-                head = int(json.load(f)["version"])
-            if f"manifest-{head:06d}.json" not in manifests:
+            # a corrupt CURRENT is exactly what the doctor exists to
+            # diagnose — report it, don't crash on it
+            try:
+                with open(ptr) as f:
+                    head = int(json.load(f)["version"])
+            except (OSError, json.JSONDecodeError, KeyError, ValueError, TypeError) as e:
+                issues.append(f"unreadable CURRENT pointer: {e}")
+            if head is not None and f"manifest-{head:06d}.json" not in manifests:
                 issues.append(f"CURRENT points at missing manifest v{head}")
         elif names:
             issues.append("manifests exist but CURRENT pointer is absent")
@@ -714,8 +730,8 @@ class ParquetSnapshotSink:
                 issues.append(f"branch {bname!r} head v{ref['version']} manifest missing")
         try:
             tags = self.tags()
-        except FileNotFoundError:
-            tags = {}  # dangling CURRENT already reported above
+        except (FileNotFoundError, OSError, json.JSONDecodeError, KeyError, ValueError):
+            tags = {}  # dangling/corrupt CURRENT already reported above
         for tname, v in tags.items():
             if f"manifest-{int(v):06d}.json" not in manifests:
                 issues.append(f"tag {tname!r} manifest v{v} missing")
@@ -939,10 +955,20 @@ class ParquetSnapshotSink:
         if man is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         schema = T.StructType.fromJson(man["schema"])
+        # int ⇒ epoch MICROSECONDS, exact. The float-seconds path loses
+        # sub-µs precision at current epoch magnitudes (double has 52
+        # mantissa bits; 1.7e15 µs needs 51 — a round-trip through
+        # seconds can shift the horizon ±1µs vs the integer-µs zone-map
+        # arithmetic used everywhere else).
+        ts_col = (
+            F.timestamp_micros(F.lit(ts))
+            if isinstance(ts, int) and not isinstance(ts, bool)
+            else F.lit(ts).cast("timestamp")
+        )
         changes = self.spark.range(1).select(
             *[F.lit(None).cast(f.dataType).alias(f.name)
               for f in schema.fields if f.name != "ts"],
-            F.lit(ts).cast("timestamp").alias("ts"),
+            ts_col.alias("ts"),
             F.lit("T").alias("op"),
             F.lit(0).cast("long").alias("seq"),
             F.lit("dml:truncate").alias("source_file"),
