@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -268,6 +270,79 @@ def knn_join(
     )
 
 
+LITERAL_K_MAX = 256
+"""Above this many centroids the literal-centroid expression is the
+wrong plan: the generated expression holds k structs × dim doubles and
+codegen/analysis cost grows with k long before the data does. The
+auto-selected large-k path is :func:`_nearest_centroid_arrow` — see
+``nearest_centroid_cols``."""
+
+
+def _nearest_centroid_arrow(centroid_rows, cent_id: str, cent_vec: str):
+    """Large-k nearest-centroid assignment as ONE vectorized Arrow UDF:
+    the centroid matrix rides in the task closure (PySpark auto-
+    broadcasts large pickled commands), each Arrow batch is assigned
+    with a single BLAS matmul (batch×dim @ dim×k), and the operator
+    stays MAP-ONLY — no join, no k× row amplification, no shuffle.
+
+    Why not the broadcast-join variant at large k: crossJoin(broadcast)
+    + max_by materializes k rows per vector before the re-aggregate —
+    at k=10^5 over 10^10 vectors that is a 10^15-row intermediate; the
+    matmul does the same FLOPs with zero row blowup. (``ivf_assign``
+    remains the mid-k join-shaped alternative.)
+
+    Semantics parity with ``_nearest_centroid_cols``: cosine rounded to
+    6dp, ties broken to the LOWEST centroid_id (centroids sorted by id;
+    argmax returns the first maximum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(centroid_rows, key=lambda r: int(r[cent_id]))
+    ids = np.array([int(r[cent_id]) for r in ordered], dtype=np.int64)
+    C = np.array([[float(x) for x in r[cent_vec]] for r in ordered], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    @pandas_udf(f"struct<{cent_id}:int, cos:double>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({
+                cent_id: pd.Series([], dtype="int32"),
+                "cos": pd.Series([], dtype="float64"),
+            })
+        M = np.array(v.tolist(), dtype=np.float64)
+        S = np.round(
+            (M @ C.T) / (np.linalg.norm(M, axis=1, keepdims=True) * Cn[None, :]),
+            6,
+        )
+        best = np.argmax(S, axis=1)  # first max ⇒ lowest centroid_id on ties
+        return pd.DataFrame({
+            cent_id: ids[best].astype("int32"),
+            "cos": S[np.arange(len(best)), best],
+        })
+
+    return _assign
+
+
+def nearest_centroid_cols(
+    centroid_rows, vec_col: str, cent_id: str, cent_vec: str,
+    k_literal_max: int | None = None,
+):
+    """(centroid_id, cos) assignment columns, auto-selecting the plan by
+    k: at k ≤ ``k_literal_max`` (default :data:`LITERAL_K_MAX`, read at
+    call time so tests can force either path) the literal-centroid
+    expression (pure JVM codegen, fastest); above it the Arrow matmul
+    UDF (map-only, plan size independent of k — the 10^5-centroid IVF
+    regime). Both share the exact tie rule (max cos 6dp, then lowest
+    id), so callers and oracles never observe which plan ran."""
+    if k_literal_max is None:
+        k_literal_max = LITERAL_K_MAX
+    if len(centroid_rows) <= k_literal_max:
+        return _nearest_centroid_cols(centroid_rows, vec_col, cent_id, cent_vec)
+    b = _nearest_centroid_arrow(centroid_rows, cent_id, cent_vec)(F.col(vec_col))
+    # both fields extract from ONE UDF call: ExtractPythonUDFs dedupes
+    # the canonically-equal expression into a single ArrowEvalPython
+    return b[cent_id].alias(cent_id), b["cos"].alias("cos")
+
+
 def _nearest_centroid_cols(centroid_rows, vec_col: str, cent_id: str, cent_vec: str):
     """(centroid_id, cos) columns picking each row's max-cosine centroid
     as a single MAP-ONLY expression (array_max over (cos, -id) structs)
@@ -299,7 +374,7 @@ def ivf_index_build(
     with the partition layout (one task per cluster dir, no small-file
     fan-out — same trick as the CDC sink's bucket-aligned write)."""
     rows = centroids.collect()
-    cid, _cos = _nearest_centroid_cols(rows, vec_col, cent_id, cent_vec)
+    cid, _cos = nearest_centroid_cols(rows, vec_col, cent_id, cent_vec)
     indexed = df.withColumn(cent_id, cid)
     indexed.repartition(F.col(cent_id)).write.mode("overwrite").partitionBy(cent_id).parquet(path)
 
@@ -391,7 +466,7 @@ def kmeans_fit(
     n_iter = 0
     for n_iter in range(1, max_iter + 1):
         rows = [{"centroid_id": i, "centroid": c} for i, c in enumerate(cents)]
-        cid, cos = _nearest_centroid_cols(rows, vec_col, "centroid_id", "centroid")
+        cid, cos = nearest_centroid_cols(rows, vec_col, "centroid_id", "centroid")
         assigned = df.select(cid, cos, F.col(vec_col))
         # one shuffle of k*dim cells: per-(cluster, dimension) sums with
         # map-side combine; cluster size and mean cosine ride along on

@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oec_etl_spark.functions.vectors import cosine
-from oec_etl_spark.operators.similarity import _nearest_centroid_cols
+from oec_etl_spark.operators.similarity import nearest_centroid_cols
 from oec_etl_spark.schemas import KEY_COLUMNS
 from oec_etl_spark.streaming.sink import ParquetSnapshotSink
 
@@ -139,10 +139,11 @@ class IvfIndexView:
     def _embedded(self, base: DataFrame) -> DataFrame:
         """(keys, embedding, centroid_id, cos) for every base row —
         embed + assign as one map-only projection (centroids ride as
-        literals; no join, no shuffle)."""
+        literals at small k, as an Arrow-matmul UDF above LITERAL_K_MAX;
+        either way no join, no shuffle)."""
         rows = [{"centroid_id": i, "centroid": v} for i, v in self.centroids]
         emb = base.select(*self.keys, F.expr(self.embed_expr).alias("embedding"))
-        cid, cos = _nearest_centroid_cols(rows, "embedding", "centroid_id", "centroid")
+        cid, cos = nearest_centroid_cols(rows, "embedding", "centroid_id", "centroid")
         return emb.select(*self.keys, "embedding", cid, cos)
 
     # ------------------------------------------------------------ build
