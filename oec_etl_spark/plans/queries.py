@@ -26,7 +26,7 @@ from oec_etl_spark.functions import hs6, text as tx, zorder
 from oec_etl_spark.functions.vectors import cosine
 from oec_etl_spark.operators import bpe, decontam, lm
 from oec_etl_spark.operators import dedup as dd
-from oec_etl_spark.operators import reshape, similarity
+from oec_etl_spark.operators import reshape, similarity, span_dedup
 from oec_etl_spark.operators.lww import lww_reduce
 
 
@@ -1326,6 +1326,57 @@ def doc_decontaminate(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     return decontam.contamination(corpus, bench)
+
+
+_SPAN_W = span_dedup.WIDTH
+_SPAN_HITS_SQL = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_SPAN_W - 2}),
+                   i -> struct_pack(pos := i,
+                                    gram := array_to_string(t[i:i+{_SPAN_W - 1}], ' ')))) AS s
+        FROM toks WHERE len(t) >= {_SPAN_W})),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + {_SPAN_W} THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    spans AS (
+      SELECT doc_id, isl, min(pos) AS span_start, max(pos) + {_SPAN_W - 1} AS span_end
+      FROM (SELECT doc_id, pos, sum(brk) OVER
+                (PARTITION BY doc_id ORDER BY pos) AS isl FROM flagged)
+      GROUP BY doc_id, isl)
+"""
+
+
+@_register(
+    "doc_span_dedup",
+    f"""
+    WITH {_SPAN_HITS_SQL}
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT)                           AS n_dup_spans,
+           CAST(sum(span_end - span_start + 1) AS BIGINT)     AS dup_tokens,
+           CAST(any_value(len(t)) AS BIGINT)                  AS n_tokens,
+           round(CAST(sum(span_end - span_start + 1) AS DOUBLE)
+                 / any_value(len(t)), 4)                      AS dup_ratio
+    FROM spans s JOIN toks USING (doc_id)
+    GROUP BY s.doc_id
+    """,
+    tags="exact substring dedup: cross-doc repeated {W}-token spans, gaps-and-islands merge "
+         "(distributed suffix-array approximation, Lee et al. 2022)".format(W=_SPAN_W),
+)
+def doc_span_dedup(spark, sf_dir):
+    return span_dedup.span_dedup_stats(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "n_tokens",
+        "dup_ratio",
+    )
 
 
 # =====================================================================
