@@ -149,6 +149,77 @@ def compression(words: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ encoding
+def vocab(merges: list[Merge], words: DataFrame) -> dict[str, int]:
+    """Deterministic token→id table: every single char seen in the
+    trained word table, sorted, gets ids 0..n-1; merge tokens follow in
+    rank order (the standard BPE id scheme: base alphabet then merges).
+    The collect is driver-side control metadata — vocab size is
+    |alphabet| + n_merges, never corpus-sized."""
+    chars = sorted(
+        r["c"]
+        for r in words.select(
+            F.explode(F.regexp_extract_all(F.col("word"), F.lit("."), F.lit(0))).alias("c")
+        ).distinct().collect()
+    )
+    v = {c: i for i, c in enumerate(chars)}
+    for m in merges:
+        v[m.left + m.right] = len(v)
+    return v
+
+
+def _encode_word(merges: list[Merge]):
+    """word → array of bracket-stripped subword tokens, as one chained
+    codegen'd expression (wrap chars, apply each merge as a literal
+    replace in rank order, extract). Applying the chain to a word is
+    exactly the trained table's final repr for that word — the chain is
+    word-local — so encoding needs NO join against the word table."""
+    def enc(w):
+        r = _wrap_chars(w)
+        for m in merges:
+            r = F.replace(r, F.lit(m.pair), F.lit(m.merged))
+        toks = F.regexp_extract_all(r, F.lit(_TOK_RE), F.lit(0))
+        return F.transform(toks, lambda t: t.substr(F.lit(2), F.length(t) - 2))
+    return enc
+
+
+def encode_words(docs: DataFrame, merges: list[Merge], *, text_col: str = "text") -> DataFrame:
+    """docs + ``word_tokens: array<array<string>>`` (outer: words in
+    order, inner: that word's BPE tokens). Map-only — the merge chain
+    rides as literals, the corpus is scanned once, nothing shuffles."""
+    words = F.split(F.col(text_col), " ")
+    return docs.withColumn("word_tokens", F.transform(words, _encode_word(merges)))
+
+
+def decode(df: DataFrame, col: str = "word_tokens") -> F.Column:
+    """Inverse of :func:`encode_words`: concat each word's tokens, join
+    words with single spaces. decode(encode(x)) == x for any corpus
+    (BPE merges never cross the space separator)."""
+    return F.array_join(
+        F.transform(F.col(col), lambda w: F.array_join(w, "")), " "
+    )
+
+
+def encode(docs: DataFrame, merges: list[Merge], vocab_map: dict[str, int], *,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with a trained merge list: (id_col, n_words,
+    n_bpe_tokens, token_ids) where token_ids is the doc's full BPE id
+    sequence. Unknown tokens (chars absent from the training corpus)
+    encode as -1 rather than nulls so downstream array math never
+    NPEs. Entirely map-only: merges AND vocab ride as plan literals
+    (both are |alphabet|+n_merges small — same justification as
+    small-k centroid literals in operators/similarity.py)."""
+    lut = F.create_map(*[F.lit(x) for kv in sorted(vocab_map.items()) for x in kv])
+    enc = encode_words(docs, merges, text_col=text_col)
+    flat = F.flatten(F.col("word_tokens"))
+    return enc.select(
+        F.col(id_col),
+        F.size(F.col("word_tokens")).cast("long").alias("n_words"),
+        F.size(flat).cast("long").alias("n_bpe_tokens"),
+        F.transform(flat, lambda t: F.coalesce(lut[t], F.lit(-1)).cast("int")).alias("token_ids"),
+    )
+
+
 # --------------------------------------------------------------------- oracle
 def _chain_ctes(table: str, text_col: str, n_merges: int) -> str:
     """The shared CTE chain: w → r0 → (p1,m1,r1) → … → (pK,mK,rK)."""
@@ -196,6 +267,54 @@ def learn_merges_sql(table: str = "documents", text_col: str = "text",
            string_split(substr(pair, 2, length(pair) - 2), '><')[2] AS rhs,
            wgt AS weight
     FROM ({ranked})
+    """
+
+
+def encode_sql(table: str = "documents", text_col: str = "text",
+               id_col: str = "doc_id", n_merges: int = N_MERGES) -> str:
+    """DuckDB oracle for :func:`encode`: re-learns the merge chain with
+    the shared CTEs, derives the identical char+merge vocab, joins each
+    doc word to its final repr in the trained table, and emits the id
+    sequence as a CSV string (ordered by word position then token
+    position)."""
+    ranked = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, pair FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_chain_ctes(table, text_col, n_merges)},
+    chars AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS tok FROM w),
+    vocab AS (
+      SELECT tok, (row_number() OVER (ORDER BY tok) - 1)::INT AS id FROM chars
+      UNION ALL
+      SELECT substr(replace(pair, '><', ''), 2, length(replace(pair, '><', '')) - 2) AS tok,
+             ((SELECT count(*) FROM chars) + rank - 1)::INT AS id
+      FROM ({ranked})),
+    dw AS (
+      SELECT {id_col}, s.wpos AS wpos, s.word AS word FROM (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(t) + 1),
+                   i -> struct_pack(wpos := i, word := t[i]))) AS s
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}))),
+    dt AS (
+      SELECT {id_col}, wpos, s.tpos AS tpos, s.tok AS tok FROM (
+        SELECT {id_col}, wpos,
+               unnest(list_transform(range(1, len(tk) + 1),
+                   i -> struct_pack(tpos := i,
+                                    tok := substr(tk[i], 2, length(tk[i]) - 2)))) AS s
+        FROM (SELECT dw.{id_col}, dw.wpos,
+                     regexp_extract_all(r.repr, '{_TOK_RE}') AS tk
+              FROM dw JOIN r{n_merges} r USING (word)))),
+    per_doc AS (
+      SELECT {id_col},
+             count(*)::BIGINT AS n_bpe_tokens,
+             string_agg(v.id, ',' ORDER BY wpos, tpos) AS ids_csv
+      FROM dt JOIN vocab v USING (tok)
+      GROUP BY {id_col})
+    SELECT d.{id_col},
+           len(string_split(d.{text_col}, ' '))::BIGINT AS n_words,
+           coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+           coalesce(p.ids_csv, '') AS ids_csv
+    FROM {table} d LEFT JOIN per_doc p USING ({id_col})
     """
 
 

@@ -2541,6 +2541,29 @@ def bpe_compression(spark, sf_dir):
     return bpe.compression(words)
 
 
+@_register(
+    "bpe_encode_docs",
+    bpe.encode_sql("documents"),
+    tags="BPE corpus encoding: apply learned merges as a map-only literal replace "
+         "chain, vocab ids as plan literals — the tokenize step after training",
+)
+def bpe_encode_docs(spark, sf_dir):
+    """Encode the corpus with the trained merges (operators/bpe.py
+    encode): per doc, word count, BPE token count, and the full id
+    sequence (CSV so the hash gate compares scalars, not arrays). The
+    oracle re-learns the same chain in SQL and re-encodes by joining
+    words to their final trained repr — proving chain-application ==
+    trained-table lookup."""
+    docs = load(spark, sf_dir, "documents")
+    merges, words = bpe.learn_merges(docs)
+    v = bpe.vocab(merges, words)
+    enc = bpe.encode(docs, merges, v)
+    return enc.select(
+        "doc_id", "n_words", "n_bpe_tokens",
+        F.array_join(F.col("token_ids"), ",").alias("ids_csv"),
+    )
+
+
 _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # tokens per chunk / window step
 
 

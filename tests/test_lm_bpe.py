@@ -127,3 +127,40 @@ def test_lm_doc_without_bigrams_excluded(spark):
     )
     out = lm.score_bigram_xent(docs).select("doc_id").collect()
     assert {r["doc_id"] for r in out} == {2}
+
+
+def test_bpe_encode_roundtrip_and_ids(spark):
+    """decode(encode(x)) == x for every doc, ids are consistent with
+    the deterministic vocab (chars sorted, then merges in rank order),
+    and chain-application equals the trained table's final reprs."""
+    rows = [(0, "low low lower lowest"), (1, "new newer newest low"), (2, "a bb a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, words = bpe.learn_merges(docs, n_merges=4)
+    v = bpe.vocab(merges, words)
+    # vocab layout: sorted alphabet first, merge tokens after in rank order
+    alpha = sorted({c for _, t in rows for c in t.replace(" ", "")})
+    assert [t for t, _ in sorted(v.items(), key=lambda kv: kv[1])[: len(alpha)]] == alpha
+    for i, m in enumerate(merges):
+        assert v[m.left + m.right] == len(alpha) + i
+
+    enc = bpe.encode_words(docs, merges)
+    got = {r["doc_id"]: r["txt"] for r in enc.select("doc_id", bpe.decode(enc).alias("txt")).collect()}
+    assert got == {i: t for i, t in rows}
+
+    ids = {r["doc_id"]: r for r in bpe.encode(docs, merges, v).collect()}
+    inv = {i: t for t, i in v.items()}
+    for d, t in rows:
+        assert ids[d]["n_words"] == len(t.split(" "))
+        assert "".join(inv[i] for i in ids[d]["token_ids"]) == t.replace(" ", "")
+        assert ids[d]["n_bpe_tokens"] == len(ids[d]["token_ids"])
+
+
+def test_bpe_encode_unknown_char_is_minus_one(spark):
+    """Encoding a corpus containing a char the TRAINING corpus never
+    saw must yield -1, not null."""
+    train = spark.createDataFrame([(0, "aa ab aa")], "doc_id long, text string")
+    merges, words = bpe.learn_merges(train, n_merges=2)
+    v = bpe.vocab(merges, words)
+    other = spark.createDataFrame([(9, "aa zz")], "doc_id long, text string")
+    row = bpe.encode(other, merges, v).collect()[0]
+    assert -1 in row["token_ids"] and None not in row["token_ids"]
