@@ -15,12 +15,27 @@ module supplies the same declarative surface for the Spark engine:
       driver: parquet
       uri: $DATA_ROOT/changes/<table>
 
-``driver`` is a Spark read format (parquet/json/csv/text/binaryFile) —
-this sandbox has no network, so URIs are file paths/globs; an HTTP
-driver would stage to a path and resolve to it. A connector resolves to
-a concrete path by binding run params into ``<param>`` slots (the
-reference's param grid) and expanding ``$ENV`` vars; unbound params
-fail loudly instead of producing a silent empty glob.
+``driver`` is a Spark read format (parquet/json/csv/text/binaryFile),
+or ``http`` — the download-then-read shape of the reference's
+DownloadStep (`/root/reference/etl/trade_comtrade_monthly_pipeline.py:89-104`):
+the URL (with bound params) is staged once into a local cache dir with
+cache-if-exists semantics (re-runs and resumed backfills never
+re-download) and Spark reads the staged file with the ``format``
+option. Staging is atomic (``.part`` + rename) so a crash mid-download
+never leaves a half file that a resume would trust. A connector
+resolves to a concrete path by binding run params into ``<param>``
+slots (the reference's param grid) and expanding ``$ENV`` vars;
+unbound params fail loudly instead of producing a silent empty glob.
+
+    comtrade-remote:
+      driver: http
+      uri: http://comtrade.example/api/get/<year>/<month>
+      options: {format: csv, header: "true", stage_dir: /data/stage}
+
+At cluster scale the staged path must be shared storage (HDFS/object
+store via a staging job); here staging is a driver-side download —
+the grid fan-out (many (year,month) params) parallelizes across
+pipeline runs, matching the reference's per-param download loop.
 
 ``EngineConfig.connectors_path`` switches ``changes_dir`` from a bare
 path to a connector NAME looked up here (see streaming/engine.py).
@@ -28,8 +43,12 @@ path to a connector NAME looked up here (see streaming/engine.py).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
+import shutil
+import tempfile
+import urllib.request
 from dataclasses import dataclass, field
 from typing import IO
 
@@ -38,6 +57,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _PARAM = re.compile(r"<(\w+)>")
+
+# http-driver options consumed by staging, never forwarded to the
+# Spark reader
+_HTTP_OPTS = {"format", "stage_dir"}
 
 
 @dataclass(frozen=True)
@@ -59,6 +82,42 @@ class Connector:
             )
         return uri
 
+    def stage(self, params: dict | None = None) -> str:
+        """(http driver) Download the bound URL into the stage dir if —
+        and only if — no staged copy exists, and return the local path.
+        The cache key is the sha1 of the full URL, so two params that
+        bind to different URLs never collide and re-running the same
+        param grid is a no-op (the reference's local-cache semantics,
+        S5). Atomic: bytes land in a ``.part`` temp file first and are
+        renamed only on complete success."""
+        if self.driver != "http":
+            raise ValueError(f"stage() is the http driver's method; {self.name!r} is {self.driver!r}")
+        url = self.resolve(params)
+        stage_dir = self.options.get("stage_dir") or os.path.join(
+            tempfile.gettempdir(), "oec_etl_http_stage"
+        )
+        base = os.path.basename(url.split("?", 1)[0]) or "download"
+        # each URL stages into ITS OWN subdir so the parent of a staged
+        # file is a directory holding exactly that download — which is
+        # what a Spark file source (batch basePath or streaming tail)
+        # wants to be pointed at
+        url_dir = os.path.join(stage_dir, hashlib.sha1(url.encode()).hexdigest()[:16])
+        dest = os.path.join(url_dir, base)
+        if os.path.exists(dest):
+            return dest
+        os.makedirs(stage_dir, exist_ok=True)
+        fd, part = tempfile.mkstemp(dir=stage_dir, suffix=".part")
+        try:
+            with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
+                shutil.copyfileobj(resp, out)
+            # the per-URL dir appears only on complete success
+            os.makedirs(url_dir, exist_ok=True)
+            os.replace(part, dest)
+        finally:
+            if os.path.exists(part):
+                os.unlink(part)
+        return dest
+
     def read(
         self,
         spark: SparkSession,
@@ -68,7 +127,16 @@ class Connector:
         """Batch-read the resolved source with the declared format and
         options (one distributed read, however many files the glob
         matches — the Spark replacement for the reference's
-        download-then-foreach fan-out)."""
+        download-then-foreach fan-out). The http driver stages first
+        (cache-if-exists) and reads the staged file with its ``format``
+        option."""
+        if self.driver == "http":
+            fmt = self.options.get("format", "csv")
+            opts = {k: v for k, v in self.options.items() if k not in _HTTP_OPTS}
+            reader = spark.read.format(fmt).options(**opts)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.load(self.stage(params))
         reader = spark.read.format(self.driver).options(**self.options)
         if schema is not None:
             reader = reader.schema(schema)
@@ -81,7 +149,16 @@ class Connector:
         params: dict | None = None,
     ) -> DataFrame:
         """Streaming read of the resolved source dir (file-source tail);
-        streams require an explicit schema."""
+        streams require an explicit schema. The http driver stages
+        first and tails the staged file (new segments appear when a
+        re-stage under new params lands in the same stage_dir)."""
+        if self.driver == "http":
+            fmt = self.options.get("format", "csv")
+            opts = {k: v for k, v in self.options.items() if k not in _HTTP_OPTS}
+            return (
+                spark.readStream.format(fmt).options(**opts).schema(schema)
+                .load(os.path.dirname(self.stage(params)))
+            )
         reader = spark.readStream.format(self.driver).options(**self.options).schema(schema)
         return reader.load(self.resolve(params))
 

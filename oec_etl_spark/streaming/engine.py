@@ -75,6 +75,14 @@ def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
         from oec_etl_spark.connectors import fetch
 
         conn = fetch(cfg.changes_dir, cfg.connectors_path)
+        if conn.driver == "http":
+            # stage (cache-if-exists, atomic) and tail the staged
+            # copy's per-URL directory with the connector's declared
+            # payload format
+            import os as _os
+
+            staged = conn.stage(cfg.source_params)
+            return _os.path.dirname(staged), conn.options.get("format", "parquet")
         return conn.resolve(cfg.source_params), conn.driver
     return cfg.changes_dir, cfg.format
 
