@@ -157,11 +157,24 @@ def lww_reduce_hash(
     return lhs.join(rhs, cond, "left_semi")
 
 
-def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFrame:
+def materialize(
+    changes: DataFrame,
+    keys: Sequence[str] = KEY_COLUMNS,
+    ops: Sequence[str] | None = None,
+) -> DataFrame:
     """One-shot batch materialization: LWW winners minus deletes.
 
     This is also the *oracle* shape used by the replay-equivalence
     tests (FIXTURES.md F5): trivially correct, auditable in one line.
+
+    ``ops``: the op codes present in ``changes``, when the caller
+    already knows them (the streaming sink gets them from its single
+    job-A stats pass; a test knows its generator config) — passing
+    them skips the strategy-probe job entirely. A SUPERSET is safe
+    (unconditional 'T'/'R'/'P' handling is correct, just costlier);
+    omitting an op that IS present is not. When not supplied, presence
+    of the three plan-changing ops is probed with ONE map-side-combined
+    boolean aggregate (3 ints cross the wire), not a distinct+collect.
 
     Logs containing op='P' partial updates route through the
     per-column combine instead (patches set only their non-null
@@ -177,9 +190,16 @@ def materialize(changes: DataFrame, keys: Sequence[str] = KEY_COLUMNS) -> DataFr
     BELOW every streamed row in the LWW order: a snapshot read
     creates a key that nothing else defines but never overwrites or
     outranks streamed data, however its ts compares."""
-    present = {
-        r["op"] for r in changes.select("op").distinct().collect() if r["op"]
-    }
+    if ops is not None:
+        present = set(ops)
+    else:
+        flags = changes.agg(
+            *[
+                F.max((F.col("op") == o).cast("int")).alias(o)
+                for o in ("T", "R", "P")
+            ]
+        ).first()
+        present = {o for o in ("T", "R", "P") if flags[o]}
     base, order = changes, ORDER_COLUMNS
     if "T" in present:
         hi = base.filter(F.col("op") == "T").agg(F.max("ts")).first()[0]
