@@ -2506,15 +2506,18 @@ class IcebergMergeSink:
                 "org.apache.iceberg:iceberg-spark-runtime-4.1_2.13"
             )
 
-    def merge(self, changes: DataFrame, batch_id: int, quarantined: int = 0) -> BatchLineage:  # pragma: no cover
+    def merge(self, changes: DataFrame, batch_id: int, quarantined: int = 0) -> BatchLineage:
         # schema evolution first (metadata-only DDL), from the same
-        # widening lattice the snapshot sink uses
+        # widening lattice the snapshot sink uses; the table itself is
+        # created on first contact (CREATE IF NOT EXISTS is idempotent)
         inc = payload_schema(changes, exclude=_ENVELOPE)
         try:
             current = self.spark.table(self.table).schema
         except Exception:
             current = None
-        if current is not None:
+        if current is None:
+            self.spark.sql(iceberg_create_table_sql(self.table, inc, self.n_buckets))
+        else:
             cur_payload = T.StructType(
                 [f for f in current.fields if f.name not in (META_SEQ, META_DELETED)]
             )
@@ -2522,6 +2525,26 @@ class IcebergMergeSink:
             for stmt in iceberg_evolve_sql(self.table, cur_payload, evolved):
                 self.spark.sql(stmt)
         kw = lww_reduce(changes)
-        kw.createOrReplaceTempView("_cdc_winners")
+        # Stage the winners with the TARGET's meta columns materialized:
+        # `UPDATE SET *` / `INSERT *` expand over target columns and
+        # look each up in the source by name, so the view must carry
+        # __seq/__deleted (extra source-only columns like op/seq that
+        # the guards reference are fine — star expansion ignores them).
+        # Columns the batch doesn't carry (pre-evolution segments) stage
+        # as typed NULLs; casts also lift narrower batch types onto the
+        # widened target column.
+        cols = []
+        for f in self.spark.table(self.table).schema.fields:
+            if f.name in (META_SEQ, META_DELETED):
+                continue
+            src = F.col(f.name) if f.name in kw.columns else F.lit(None)
+            cols.append(src.cast(f.dataType).alias(f.name))
+        staged = kw.select(
+            *cols,
+            F.col("seq").alias(META_SEQ),
+            (F.col("op") == F.lit("D")).alias(META_DELETED),
+            "op", "seq",
+        )
+        staged.createOrReplaceTempView("_cdc_winners")
         self.spark.sql(iceberg_merge_sql(self.table))
         return BatchLineage(batch_id=batch_id, rows_quarantined=quarantined)
