@@ -1,0 +1,229 @@
+"""Trainable quality classifier — the fastText-style second half of
+CCNet (Wenzek et al. 2020, public): hashed-ngram features + logistic
+regression, trained distributively, scored as a map-only expression.
+
+Where the bigram-LM perplexity filter (operators/lm.py) is
+*unsupervised* (self-trained likelihood), this is the *supervised*
+complement: given per-doc labels (seed corpus vs junk, wiki vs crawl,
+spam markers), learn weights over hashed token features and score every
+document in one codegen'd pass.
+
+Scale shape (the part that must survive 100×):
+- Features are NEVER materialized as a dense matrix. Training runs one
+  pair of aggregations per iteration: (1) per-doc margin — a map-only
+  higher-order expression (the weight vector rides as a literal array,
+  exactly the small-k centroid-literal pattern of
+  operators/similarity.py) followed by nothing, because (2) the
+  gradient explodes token occurrences and hash-aggregates D+1 cells
+  with map-side combine. Driver involvement is O(D) per iteration —
+  the k-means pattern — never a corpus collect.
+- Scoring is ONE map-only expression (aggregate over the token array),
+  zero shuffle, zero Python: attachable at ingest like the PII/xent
+  derives.
+- Hash tiers as everywhere else: xxhash64 (production) or md5-prefix
+  (portable oracle tier DuckDB replays bit-for-bit).
+
+Cross-engine determinism: float sums are order-dependent across
+partitions, so each iteration's gradient is ROUNDED to 12 dp in BOTH
+engines before the weight update — differences of ~1e-16 vanish on a
+1e-12 grid, making trained weights (and hence scores, rounded to 4 dp)
+identical between Spark and the generated DuckDB CTE chain.
+
+Reference analog: none (the reference has no ML surface); part of the
+LLM-pipeline family in SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64        # hashed feature buckets (oracle tier; production: 2^20+)
+N_ITER = 4      # full-batch gradient steps
+LR = 1.0        # learning rate
+_GRAD_DP = 12   # gradient rounding grid (cross-engine determinism)
+_SEED = "qc"    # feature-hash seed prefix
+
+_HEXD = "0123456789abcdef"
+
+
+def _bucket(tok: Column, dim: int, portable_hash: bool) -> Column:
+    sid = F.concat(F.lit(f"{_SEED}:"), tok)
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.abs(F.xxhash64(sid))
+    return (h % dim).cast("int")
+
+
+def _bucket_sql(tok_expr: str, dim: int) -> str:
+    m = f"md5(concat('{_SEED}:', {tok_expr}))"
+    digits = " + ".join(
+        f"(strpos('{_HEXD}', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST(CAST({digits} AS BIGINT) % {dim} AS INT)"
+
+
+def margin_expr(weights: list[float], text_col: str = "text", *,
+                portable_hash: bool = True) -> Column:
+    """w·x as ONE map-only expression: bias + (1/n)·Σ_tokens w[bucket].
+    ``weights`` is [w_0..w_{D-1}, bias]; the feature value of bucket j
+    is count_j / n_tokens (length-normalized counts), so the token-sum
+    formulation needs no per-doc feature vector."""
+    dim = len(weights) - 1
+    t = F.split(F.col(text_col), " ")
+    w = F.array(*[F.lit(float(x)) for x in weights[:dim]])
+    tok_sum = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, tok: acc + F.element_at(w, _bucket(tok, dim, portable_hash) + 1),
+    )
+    return F.lit(float(weights[dim])) + tok_sum / F.size(t)
+
+
+def score_expr(weights: list[float], text_col: str = "text", *,
+               portable_hash: bool = True, dp: int = 4) -> Column:
+    """sigmoid(w·x) rounded to ``dp`` — the deployable map-only quality
+    score (attach as an ingest derive or a projection)."""
+    m = margin_expr(weights, text_col, portable_hash=portable_hash)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), dp)
+
+
+@dataclass(frozen=True)
+class TrainedClassifier:
+    weights: list[float]          # [w_0..w_{D-1}, bias]
+    n_iter: int
+    dim: int
+    portable_hash: bool
+
+    def score(self, text_col: str = "text", dp: int = 4) -> Column:
+        return score_expr(self.weights, text_col,
+                          portable_hash=self.portable_hash, dp=dp)
+
+
+def train(
+    docs: DataFrame,
+    label_col: str,
+    *,
+    text_col: str = "text",
+    dim: int = DIM,
+    n_iter: int = N_ITER,
+    lr: float = LR,
+    portable_hash: bool = True,
+) -> TrainedClassifier:
+    """Full-batch logistic regression on hashed token features.
+
+    Per iteration: margins/residuals are a map-only projection (current
+    weights as literals), and the gradient is one hash-aggregate of
+    D+1 cells (token occurrences contribute resid/n to their bucket,
+    residuals alone to the bias) — map-side combined, so the shuffle
+    carries ~(partitions × D) rows regardless of corpus size. The
+    driver sees only the D+1 gradient row per iteration."""
+    n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("empty training corpus")
+    w = [0.0] * (dim + 1)
+    t = F.split(F.col(text_col), " ")
+    # (bucket, x) cells of every doc: one per token occurrence with
+    # x = 1/n, plus the bias cell (b = dim, x = 1) — so the whole
+    # gradient (bias included) is ONE exploded hash-aggregate
+    cells_of_doc = F.concat(
+        F.transform(
+            t,
+            lambda tok: F.struct(
+                _bucket(tok, dim, portable_hash).alias("b"),
+                (F.lit(1.0) / F.size(t)).alias("x"),
+            ),
+        ),
+        F.array(F.struct(F.lit(dim).cast("int").alias("b"), F.lit(1.0).alias("x"))),
+    )
+    for _ in range(n_iter):
+        m = margin_expr(w, text_col, portable_hash=portable_hash)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        resid = (p - F.col(label_col).cast("double")).alias("resid")
+        grad_rows = (
+            docs.select(resid, F.explode(cells_of_doc).alias("c"))
+            .groupBy(F.col("c.b").alias("b"))
+            .agg(F.sum(F.col("resid") * F.col("c.x")).alias("g"))
+            .collect()
+        )
+        grad = [0.0] * (dim + 1)
+        for r in grad_rows:
+            grad[r["b"]] = float(r["g"])
+        w = [
+            round(wi - lr * round(gi / n_docs, _GRAD_DP), _GRAD_DP)
+            for wi, gi in zip(w, grad)
+        ]
+    return TrainedClassifier(weights=w, n_iter=n_iter, dim=dim,
+                             portable_hash=portable_hash)
+
+
+# --------------------------------------------------------------------- oracle
+def train_score_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_expr: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+    train_pred: str = "doc_id % 5 <> 0",
+    score_pred: str = "doc_id % 5 = 0",
+    dim: int = DIM,
+    n_iter: int = N_ITER,
+    lr: float = LR,
+) -> str:
+    """DuckDB oracle replaying the exact training loop as a generated
+    CTE chain (one margin/gradient/weights stage per iteration, weights
+    as a (b, w) table with b = dim acting as the bias), then scoring
+    the held-out split with the final weights. Gradients round to the
+    same 12 dp grid as the Spark trainer, so weights are identical."""
+    b = _bucket_sql("u.tok", dim)
+    parts = [
+        f"""d AS (
+      SELECT {id_col} AS doc_id, CAST({label_expr} AS DOUBLE) AS y,
+             string_split({text_col}, ' ') AS t,
+             len(string_split({text_col}, ' ')) AS n
+      FROM {table}),
+    tok AS (
+      SELECT doc_id, {b} AS b
+      FROM d, LATERAL unnest(t) AS u(tok)),
+    n_train AS (SELECT count(*)::DOUBLE AS n FROM d WHERE {train_pred.replace(id_col, 'doc_id')}),
+    w0 AS (SELECT CAST(range AS INT) AS b, 0.0::DOUBLE AS w FROM range({dim + 1}))"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""m{i} AS (
+      SELECT d.doc_id, d.y,
+             1.0 / (1.0 + exp(-(
+               (SELECT w FROM w{i - 1} WHERE b = {dim})
+               + coalesce(sum(w{i - 1}.w), 0.0) / any_value(d.n)
+             ))) - d.y AS resid,
+             any_value(d.n) AS n
+      FROM d LEFT JOIN tok USING (doc_id) LEFT JOIN w{i - 1} ON tok.b = w{i - 1}.b
+      WHERE {train_pred.replace(id_col, 'd.doc_id')}
+      GROUP BY d.doc_id, d.y),
+    g{i} AS (
+      SELECT tok.b AS b, sum(m{i}.resid / m{i}.n) AS g
+      FROM m{i} JOIN tok USING (doc_id)
+      GROUP BY tok.b
+      UNION ALL
+      SELECT {dim} AS b, sum(resid) AS g FROM m{i}),
+    w{i} AS (
+      SELECT w{i - 1}.b AS b,
+             round(w{i - 1}.w - {lr} * round(coalesce(g{i}.g, 0.0)
+                   / (SELECT n FROM n_train), {_GRAD_DP}), {_GRAD_DP}) AS w
+      FROM w{i - 1} LEFT JOIN g{i} ON w{i - 1}.b = g{i}.b)""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT d.doc_id,
+           CAST(d.y AS INT) AS label,
+           round(1.0 / (1.0 + exp(-(
+             (SELECT w FROM w{n_iter} WHERE b = {dim})
+             + coalesce(sum(w{n_iter}.w), 0.0) / any_value(d.n)
+           ))), 4) AS score
+    FROM d LEFT JOIN tok USING (doc_id) LEFT JOIN w{n_iter} ON tok.b = w{n_iter}.b
+    WHERE {score_pred.replace(id_col, 'd.doc_id')}
+    GROUP BY d.doc_id, d.y
+    """

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from oec_etl_spark.functions import hs6, text as tx, zorder
 from oec_etl_spark.functions.vectors import cosine
-from oec_etl_spark.operators import bpe, decontam, lm
+from oec_etl_spark.operators import bpe, classifier, decontam, lm
 from oec_etl_spark.operators import dedup as dd
 from oec_etl_spark.operators import reshape, similarity, span_dedup
 from oec_etl_spark.operators.lww import lww_reduce
@@ -2561,6 +2561,54 @@ def bpe_encode_docs(spark, sf_dir):
     return enc.select(
         "doc_id", "n_words", "n_bpe_tokens",
         F.array_join(F.col("token_ids"), ",").alias("ids_csv"),
+    )
+
+
+# Supervised-quality demo label: density of the marker token 'spark'
+# (a text-DERIVED signal — the metadata `lang` column is uncorrelated
+# with the synthetic text, AUC ≈ 0.5). Threshold splits the corpus
+# roughly 40/60, so both classes are populated at every SF.
+def _qc_label_spark():
+    # built lazily: higher-order-function lambdas need a live SparkContext
+    return (
+        F.size(F.filter(F.split("text", " "), lambda t: t == F.lit("spark")))
+        / F.size(F.split("text", " "))
+        >= 0.033
+    ).cast("int")
+_QC_LABEL_SPARK_SQL = (
+    "CASE WHEN CAST(len(list_filter(string_split(text,' '), t -> t = 'spark'))"
+    " AS DOUBLE) / len(string_split(text,' ')) >= 0.033 THEN 1 ELSE 0 END"
+)
+_QC_DIM, _QC_ITER, _QC_LR = 128, 4, 20.0
+
+
+@_register(
+    "doc_quality_classifier",
+    classifier.train_score_sql(
+        "documents", label_expr=_QC_LABEL_SPARK_SQL,
+        dim=_QC_DIM, n_iter=_QC_ITER, lr=_QC_LR,
+    ),
+    tags="trainable quality classifier (CCNet's supervised half): hashed-ngram "
+         "features + full-batch logistic regression, gradient = one map-side-"
+         "combined hash-agg per iteration, scoring a map-only expression; "
+         "weights pinned bit-exact across engines via 12dp gradient rounding",
+)
+def doc_quality_classifier(spark, sf_dir):
+    """Train on docs with doc_id % 5 != 0, score the held-out fifth
+    (operators/classifier.py). The oracle replays the EXACT training
+    loop as a generated CTE chain — per-iteration gradients round to
+    the same 1e-12 grid in both engines, so trained weights (and hence
+    4dp scores) are identical, not merely close. Reference analog:
+    none (the reference has no ML surface); SURVEY.md §2.5 family."""
+    d = load(spark, sf_dir, "documents").withColumn("label", _qc_label_spark())
+    clf = classifier.train(
+        d.filter("doc_id % 5 <> 0"), "label",
+        dim=_QC_DIM, n_iter=_QC_ITER, lr=_QC_LR,
+    )
+    return d.filter("doc_id % 5 = 0").select(
+        "doc_id",
+        F.col("label").cast("int").alias("label"),
+        clf.score().alias("score"),
     )
 
 

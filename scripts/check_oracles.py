@@ -5,11 +5,18 @@ the same sf dir, sorts columns by name, and compares the row multisets
 value-by-value. Exit code 1 on any mismatch.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+
+A full-registry run (no query filter) also writes the driver-format
+artifact CORRECTNESS_local.json next to this repo's BENCH files, so a
+reviewer can diff the committed record instead of re-running ~90
+queries.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -52,6 +59,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name, build in qs.items():
         if only and name not in only:
             continue
@@ -60,20 +68,34 @@ def main() -> int:
             sdf = build(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {e}"}
             failures += 1
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            record[name] = {"rows_match": True, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": None,
+                            "note": "no oracle: rows-only check"}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": f"duckdb: {e}"}
             failures += 1
             continue
         a, b = canon(sdf), canon(odf)
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        rec = {"rows_match": len(a) == len(b), "schema_match": scols == ocols,
+               "hash_match": a == b, "spark_rows": len(a),
+               "oracle_rows": len(b), "err": None}
+        record[name] = rec
         if scols != ocols:
             print(f"FAIL  {name}: column mismatch spark={scols} duck={ocols}")
             failures += 1
@@ -92,6 +114,12 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(a)} rows match [{t_spark:.1f}s]")
     spark.stop()
+    if not only:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_local.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": record}, f, indent=2)
+        print(f"wrote {out} ({len(record)} queries, {failures} failures)")
     return 1 if failures else 0
 
 
