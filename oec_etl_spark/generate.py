@@ -75,6 +75,24 @@ class GeneratorConfig:
     # 0.0 = the columns are not written at all (wire format unchanged).
     tx_rate: float = 0.0
     tx_max_events: int = 5
+    # WAVE offsets: an unbounded binlog is produced in deterministic
+    # waves (the upstream keeps writing while the consumer tails).
+    # Each wave is one generate_changelog() call into the SAME out_dir
+    # with offsets that keep the combined log well-formed:
+    #   segment_offset — first segment index (file names continue,
+    #     never collide: seg-{offset+s});
+    #   seq_offset — added to every seq (the combined LSN stays
+    #     strictly increasing across waves when each wave's offset
+    #     clears the previous wave's max seq);
+    #   ts_offset_us — added to every event ts (event time keeps
+    #     advancing across waves, so LWW freshness / TTL horizons
+    #     behave as in a live tail);
+    #   conv_offset — added to every conv index (disjoint keyspace
+    #     per wave; set equal offsets to re-hit prior conversations).
+    segment_offset: int = 0
+    seq_offset: int = 0
+    ts_offset_us: int = 0
+    conv_offset: int = 0
 
 
 def _texts(rng: np.random.Generator, n: int, pool: int) -> np.ndarray:
@@ -98,7 +116,11 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     # --- inserts: one per (conv, turn) ------------------------------
     ins_pair = np.arange(n_pairs)
     # per-conversation monotone-ish ts: global step + per-conv jitter
-    ins_ts_us = (ins_pair.astype("int64") * 1_000_000) + rng.integers(0, 900_000, n_pairs)
+    ins_ts_us = (
+        cfg.ts_offset_us
+        + (ins_pair.astype("int64") * 1_000_000)
+        + rng.integers(0, 900_000, n_pairs)
+    )
 
     # --- updates: skewed toward hot conversations -------------------
     n_upd = int(n_pairs * cfg.update_ratio)
@@ -137,7 +159,7 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     commit_order = np.argsort(ts_us, kind="stable")
     pair, ts_us, op = pair[commit_order], ts_us[commit_order], op[commit_order]
     n_ev = pair.size
-    seq = np.arange(1, n_ev + 1, dtype="int64")
+    seq = cfg.seq_offset + np.arange(1, n_ev + 1, dtype="int64")
 
     # --- transaction grouping (contiguous in commit order) -------------
     # gid per event (-1 = autocommit); tx_of/tx_tot consumed at segment
@@ -168,7 +190,7 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     # commit for after) -----------------------------------------------
     import pyarrow.compute as pc
 
-    conv = conv_of_pair[pair]
+    conv = conv_of_pair[pair] + cfg.conv_offset
     turn = turn_of_pair[pair].astype("int32")
     role_idx = (conv + turn) % 4
     tool_idx = (conv * 7 + turn) % 3
@@ -277,7 +299,7 @@ def generate_changelog(cfg: GeneratorConfig) -> dict:
     ext = "json" if cfg.file_format == "json" else "parquet"
     for s in range(cfg.n_segments):
         sel = delivery[bounds[s] : bounds[s + 1]]
-        fname = f"seg-{s:05d}.{ext}"
+        fname = f"seg-{s + cfg.segment_offset:05d}.{ext}"
         strings = _string_cols(sel, with_tool=s >= epoch1_until)
         cols: dict[str, pa.Array] = {
             "seq": pa.array(seq[sel]),
