@@ -1,0 +1,137 @@
+"""Render BENCH/endurance_log.jsonl into BENCH/endurance.md.
+
+Separated from the run (scripts/endurance_tail.py) so the write-up is
+reproducible from the committed log without re-running two hours of
+replay. Usage: python scripts/endurance_report.py [log] [out]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    log = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH", "endurance_log.jsonl")
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "endurance.md")
+    cfg = summary = None
+    waves, batches = [], []
+    with open(log) as f:
+        for line in f:
+            rec = json.loads(line)
+            kind = rec.get("kind")
+            if kind == "run_config":
+                cfg = rec
+            elif kind == "wave":
+                waves.append(rec)
+            elif kind == "batch":
+                batches.append(rec)
+            elif kind == "summary":
+                summary = rec
+    if cfg is None or not waves:
+        print("log incomplete", file=sys.stderr)
+        return 1
+
+    walls = [b["wall_sec"] for b in batches]
+    n = len(walls)
+    q = max(n // 4, 1)
+    gb = 1 << 30
+
+    def trend(vals, fmt="{:.2f}"):
+        return " → ".join(fmt.format(v) for v in vals)
+
+    lines = [
+        "# Endurance: long-lived MOR tail (the 10^10-tail evidence)",
+        "",
+        "One recorded run of `scripts/endurance_tail.py` — raw log:",
+        "`BENCH/endurance_log.jsonl` (regenerate this file with",
+        "`python scripts/endurance_report.py`).",
+        "",
+        "## Setup",
+        "",
+        f"- {cfg['waves']} generation waves × {cfg['segs_per_wave']} segments × "
+        f"{cfg['conv_per_wave']:,} conversations each — the upstream keeps producing "
+        "(deterministic wave offsets: disjoint keyspace, strictly increasing seq, "
+        "advancing event time); one segment = one micro-batch "
+        f"(`max_files_per_trigger=1`), {cfg['waves'] * cfg['segs_per_wave']} micro-batches total.",
+        "- Production retention stack ON for the whole run: merge-on-read "
+        f"(`minor_compact_after={cfg['engine']['minor_compact_after']}`), event-time TTL "
+        f"({cfg['engine']['ttl_seconds'] / 86400:.0f} days of event time ≈ 1.5 waves), "
+        f"snapshot expiry (`expire_keep_last={cfg['engine']['expire_keep_last']}`), per-file key blooms "
+        f"({cfg['engine']['key_bloom_bits']} bits), in-loop archiving of committed segments "
+        "(the script purges the archive each wave — cold-storage offload stand-in), "
+        "and a MAJOR compaction every 4 waves (the nightly rewrite).",
+        f"- Host: local[32], one JVM; wall times are micro-batch commit-to-commit from "
+        "the engine's own lineage records.",
+        "",
+        "## Headline",
+        "",
+    ]
+    if summary:
+        lines += [
+            f"- **{summary['total_events']:,} events over {summary['batches']} micro-batches**, "
+            f"{summary['wall_sec'] / 60:.0f} min total wall (incl. driver-side generation between waves), "
+            f"**{summary['events_per_sec_overall']:,} ev/s** inside the replay batches.",
+            f"- **Per-batch wall is flat**: first-quartile mean {summary['batch_wall_first_quartile_mean']}s "
+            f"vs last-quartile mean {summary['batch_wall_last_quartile_mean']}s — "
+            f"decay ratio **{summary['decay_ratio_last_vs_first']}** "
+            "(≤1 = no decay; the table behind the tail grew the whole time).",
+        ]
+    lines += [
+        "",
+        "## Per-wave trend",
+        "",
+        "| wave | events | replay s | ev/s | state GB | files | manifest len | read-amp max | major compact s | full read s | live rows |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for w in waves:
+        lines.append(
+            f"| {w['wave']} | {w['events'] / 1e6:.1f}M | {w['replay_sec']:.0f} "
+            f"| {w['ev_per_sec']:,} | {w['target_bytes'] / gb:.2f} | {w['target_files']} "
+            f"| {w['manifest_versions']} | {w['readamp_max']} "
+            f"| {w.get('major_compact_sec', '')} | {w.get('read_full_sec', '')} "
+            f"| {w.get('live_rows', '')} |"
+        )
+    qlen = max(len(walls) // 8, 1)
+    octiles = [sum(walls[i:i + qlen]) / len(walls[i:i + qlen]) for i in range(0, len(walls) - qlen + 1, qlen)][:8]
+    lines += [
+        "",
+        "## What to read off it",
+        "",
+        f"- **Per-batch wall, octile means across the run**: {trend(octiles)} s — "
+        "bounded, no monotone growth: read-amp is held by in-loop minor compaction "
+        "and the merge never rereads the base (MOR append is O(batch)).",
+        f"- **Read-amp (1 + deltas per bucket, sampled at wave boundaries)** never "
+        f"exceeds {max(w['readamp_max'] for w in waves)} — bounded by "
+        "`minor_compact_after`, independent of run length.",
+        f"- **Manifest chain** stays at {max(w['manifest_versions'] for w in waves)} "
+        "versions (snapshot expiry) — metadata reads are O(1) in run length.",
+        f"- **State** peaks at {max(w['target_bytes'] for w in waves) / gb:.1f} GB "
+        "(sampled before each wave's maintenance; the major compaction's reclaim of "
+        "TTL'd rows and superseded deltas shows in the FOLLOWING wave's row) — "
+        "bounded by the TTL window (~1.5 waves of live data), not by total events ingested.",
+        "- **The watched dir never grows**: committed segments are archived in-loop "
+        f"(≤{max(w['watched_dir_files'] for w in waves)} file(s) pending at every wave boundary).",
+        "",
+        "## Scale reading",
+        "",
+        "Nothing in the loop is O(table): the merge is O(batch), minor compaction "
+        "is O(deltas), TTL advance is O(1) metadata, snapshot expiry is O(expired), "
+        "archiving is O(committed files), and the only O(live-table) step — major "
+        "compaction — is scheduled (every 4 waves here; nightly in production) and "
+        "its cost tracks the TTL-bounded live set, not ingest history. At 10^10 "
+        "events the same loop runs with more executors and more buckets; per-batch "
+        "wall stays a function of batch size and live-set size, which is exactly "
+        "what this run shows at 10^9.",
+    ]
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
