@@ -150,8 +150,14 @@ class Connector:
     ) -> DataFrame:
         """Streaming read of the resolved source dir (file-source tail);
         streams require an explicit schema. The http driver stages
-        first and tails the staged file (new segments appear when a
-        re-stage under new params lands in the same stage_dir)."""
+        first (cache-if-exists) and tails the staged copy's per-URL
+        directory — which holds exactly that one download (stage()
+        keys each URL into its own sha1(url) subdir), so the stream
+        observes one static file: the batch-download-as-bounded-stream
+        shape. A re-stage under different params lands in a SIBLING
+        dir this tail never sees; multi-segment live tailing is the
+        engine's watched-dir pattern (EngineConfig.changes_dir as a
+        path), not the http driver's."""
         if self.driver == "http":
             fmt = self.options.get("format", "csv")
             opts = {k: v for k, v in self.options.items() if k not in _HTTP_OPTS}

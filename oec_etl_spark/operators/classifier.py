@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +48,17 @@ LR = 1.0        # learning rate
 _GRAD_DP = 12   # gradient rounding grid (cross-engine determinism)
 _SEED = "qc"    # feature-hash seed prefix
 
+LITERAL_DIM_MAX = 4096
+"""Above this many weight buckets the literal-array expression is the
+wrong plan: ``margin_expr`` would embed D doubles as Catalyst literals
+and analysis/codegen cost grows with D long before the data does (the
+docstring's production tier is 2^20+ buckets — a million-literal
+expression). The auto-selected large-D path keeps the HASH in the JVM
+(same ``_bucket`` expression, bit-identical bucketing) and moves only
+the gather+dot into one Arrow-vectorized UDF whose weights ndarray
+rides in the task closure — the exact ``LITERAL_K_MAX`` pattern of
+operators/similarity.py. Still map-only: no join, no shuffle."""
+
 _HEXD = "0123456789abcdef"
 
 
@@ -53,9 +66,10 @@ def _bucket(tok: Column, dim: int, portable_hash: bool) -> Column:
     sid = F.concat(F.lit(f"{_SEED}:"), tok)
     if portable_hash:
         h = F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("long")
-    else:
-        h = F.abs(F.xxhash64(sid))
-    return (h % dim).cast("int")
+        return (h % dim).cast("int")
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows back to
+    # MIN_VALUE (or throws under ANSI), yielding a negative bucket.
+    return F.pmod(F.xxhash64(sid), F.lit(dim)).cast("int")
 
 
 def _bucket_sql(tok_expr: str, dim: int) -> str:
@@ -67,13 +81,59 @@ def _bucket_sql(tok_expr: str, dim: int) -> str:
     return f"CAST(CAST({digits} AS BIGINT) % {dim} AS INT)"
 
 
+def _margin_arrow(weights: list[float], text_col: str,
+                  portable_hash: bool) -> Column:
+    """Large-D margin: bucketing stays a JVM ``transform`` (identical
+    ``_bucket`` expression to the literal plan), and ONE Arrow UDF does
+    the gather+dot per batch with the weights ndarray in the task
+    closure (PySpark auto-broadcasts large pickled commands). Map-only;
+    plan size is independent of D."""
+    from pyspark.sql.functions import pandas_udf
+
+    dim = len(weights) - 1
+    w_arr = np.asarray(weights[:dim], dtype=np.float64)
+    bias = float(weights[dim])
+
+    @pandas_udf("double")
+    def _gather_margin(bs: pd.Series) -> pd.Series:
+        if len(bs) == 0:
+            return pd.Series([], dtype="float64")
+        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.full(len(bs), bias))
+        flat = np.concatenate([np.asarray(b, dtype=np.int64) for b in bs])
+        vals = w_arr[flat]
+        offs = np.zeros(len(bs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        sums = np.add.reduceat(vals, np.minimum(offs, total - 1))
+        sums = np.where(lens > 0, sums, 0.0)
+        return pd.Series(bias + sums / np.maximum(lens, 1))
+
+    t = F.split(F.col(text_col), " ")
+    buckets = F.transform(t, lambda tok: _bucket(tok, dim, portable_hash))
+    return _gather_margin(buckets)
+
+
 def margin_expr(weights: list[float], text_col: str = "text", *,
-                portable_hash: bool = True) -> Column:
+                portable_hash: bool = True,
+                dim_literal_max: int | None = None) -> Column:
     """w·x as ONE map-only expression: bias + (1/n)·Σ_tokens w[bucket].
     ``weights`` is [w_0..w_{D-1}, bias]; the feature value of bucket j
     is count_j / n_tokens (length-normalized counts), so the token-sum
-    formulation needs no per-doc feature vector."""
+    formulation needs no per-doc feature vector.
+
+    Plan auto-selects by D (mirroring similarity.nearest_centroid_cols):
+    at D ≤ ``dim_literal_max`` (default :data:`LITERAL_DIM_MAX`, read at
+    call time so tests can force either path) the weights ride as a
+    literal array inside whole-stage codegen; above it the Arrow
+    gather+dot closure (:func:`_margin_arrow`) — same JVM-side
+    bucketing, so both plans score identically."""
     dim = len(weights) - 1
+    if dim_literal_max is None:
+        dim_literal_max = LITERAL_DIM_MAX
+    if dim > dim_literal_max:
+        return _margin_arrow(weights, text_col, portable_hash)
     t = F.split(F.col(text_col), " ")
     w = F.array(*[F.lit(float(x)) for x in weights[:dim]])
     tok_sum = F.aggregate(
@@ -85,10 +145,12 @@ def margin_expr(weights: list[float], text_col: str = "text", *,
 
 
 def score_expr(weights: list[float], text_col: str = "text", *,
-               portable_hash: bool = True, dp: int = 4) -> Column:
+               portable_hash: bool = True, dp: int = 4,
+               dim_literal_max: int | None = None) -> Column:
     """sigmoid(w·x) rounded to ``dp`` — the deployable map-only quality
     score (attach as an ingest derive or a projection)."""
-    m = margin_expr(weights, text_col, portable_hash=portable_hash)
+    m = margin_expr(weights, text_col, portable_hash=portable_hash,
+                    dim_literal_max=dim_literal_max)
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), dp)
 
 

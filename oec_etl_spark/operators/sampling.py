@@ -32,9 +32,10 @@ def _bucket(id_col: Column, seed: str, portable_hash: bool) -> Column:
     sid = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
     if portable_hash:
         h = F.conv(F.substring(F.md5(sid), 1, 8), 16, 10).cast("long")
-    else:
-        h = F.abs(F.xxhash64(sid))
-    return h % RESOLUTION
+        return h % RESOLUTION
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows back to
+    # MIN_VALUE (or throws under ANSI), yielding a negative bucket.
+    return F.pmod(F.xxhash64(sid), F.lit(RESOLUTION))
 
 
 def _bucket_sql(id_expr: str, seed: str) -> str:

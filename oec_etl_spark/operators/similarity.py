@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oec_etl_spark.functions.vectors import cosine
+from oec_etl_spark.functions.vectors import cosine, dot, norm
 
 
 def brute_topk(
@@ -293,13 +293,17 @@ def _nearest_centroid_arrow(centroid_rows, cent_id: str, cent_vec: str):
 
     Semantics parity with ``_nearest_centroid_cols``: cosine rounded to
     6dp, ties broken to the LOWEST centroid_id (centroids sorted by id;
-    argmax returns the first maximum)."""
+    argmax returns the first maximum). Zero-norm vectors (input or
+    centroid) are defined as cos 0.0 against everything in BOTH plans —
+    without the guard, 0/0 here yields NaN cosines and numpy argmax
+    picks the first NaN, silently diverging from the literal plan."""
     from pyspark.sql.functions import pandas_udf
 
     ordered = sorted(centroid_rows, key=lambda r: int(r[cent_id]))
     ids = np.array([int(r[cent_id]) for r in ordered], dtype=np.int64)
     C = np.array([[float(x) for x in r[cent_vec]] for r in ordered], dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
+    Cn = np.where(Cn == 0.0, 1.0, Cn)  # zero centroid ⇒ dot 0 ⇒ cos 0.0
 
     @pandas_udf(f"struct<{cent_id}:int, cos:double>")
     def _assign(v: pd.Series) -> pd.DataFrame:
@@ -309,10 +313,9 @@ def _nearest_centroid_arrow(centroid_rows, cent_id: str, cent_vec: str):
                 "cos": pd.Series([], dtype="float64"),
             })
         M = np.array(v.tolist(), dtype=np.float64)
-        S = np.round(
-            (M @ C.T) / (np.linalg.norm(M, axis=1, keepdims=True) * Cn[None, :]),
-            6,
-        )
+        Mn = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = np.where(Mn == 0.0, 1.0, Mn)  # zero vector ⇒ cos 0.0 everywhere
+        S = np.round((M @ C.T) / (Mn * Cn[None, :]), 6)
         best = np.argmax(S, axis=1)  # first max ⇒ lowest centroid_id on ties
         return pd.DataFrame({
             cent_id: ids[best].astype("int32"),
@@ -349,11 +352,20 @@ def _nearest_centroid_cols(centroid_rows, vec_col: str, cent_id: str, cent_vec: 
     — no join, no shuffle, whole corpus assigned in one scan. Centroids
     ride along as literals (they are broadcast-small by definition).
     Tie rule: highest cosine, then lowest centroid_id — identical to the
-    row_number ordering in the DuckDB oracle."""
+    row_number ordering in the DuckDB oracle. Zero-norm vectors (input
+    or centroid) make ``cosine``'s denominator 0 — a DIVIDE_BY_ZERO
+    error under ANSI mode (Spark 4 default), NaN otherwise; try_divide
+    + coalesce pins them to cos 0.0 so this plan and the large-k Arrow
+    plan stay bit-identical on degenerate rows (both then tie-break to
+    the lowest id). Nonzero norms take the exact same arithmetic as
+    ``cosine``."""
+    def _cos0(a, b):
+        return F.coalesce(F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0))
+
     best = F.array_max(
         F.array(*[
             F.struct(
-                F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r[cent_vec]])), 6).alias("cos"),
+                F.round(_cos0(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r[cent_vec]])), 6).alias("cos"),
                 F.lit(-int(r[cent_id])).alias("nid"),
             )
             for r in centroid_rows

@@ -850,6 +850,7 @@ def embedding_neardup(spark, sf_dir):
     ORDER BY cos DESC, e.vec_id LIMIT 10
     """,
     tags="ANN IVF query: persisted centroid-partitioned index, scan pruned to probed partitions",
+    headline=True,  # round-4 rotation: driver-grade timing for the ANN index path
 )
 def ann_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
@@ -1368,6 +1369,7 @@ _SPAN_HITS_SQL = f"""
     """,
     tags="exact substring dedup: cross-doc repeated {W}-token spans, gaps-and-islands merge "
          "(distributed suffix-array approximation, Lee et al. 2022)".format(W=_SPAN_W),
+    headline=True,  # round-4 rotation: newest dedup operator into the bench set
 )
 def doc_span_dedup(spark, sf_dir):
     return span_dedup.span_dedup_stats(load(spark, sf_dir, "documents")).select(
@@ -2546,6 +2548,7 @@ def bpe_compression(spark, sf_dir):
     bpe.encode_sql("documents"),
     tags="BPE corpus encoding: apply learned merges as a map-only literal replace "
          "chain, vocab ids as plan literals — the tokenize step after training",
+    headline=True,  # round-4 rotation: BPE train+encode into the bench set
 )
 def bpe_encode_docs(spark, sf_dir):
     """Encode the corpus with the trained merges (operators/bpe.py
@@ -2592,6 +2595,7 @@ _QC_DIM, _QC_ITER, _QC_LR = 128, 4, 20.0
          "features + full-batch logistic regression, gradient = one map-side-"
          "combined hash-agg per iteration, scoring a map-only expression; "
          "weights pinned bit-exact across engines via 12dp gradient rounding",
+    headline=True,  # round-4 rotation: training loop gets driver-grade timing
 )
 def doc_quality_classifier(spark, sf_dir):
     """Train on docs with doc_id % 5 != 0, score the held-out fifth

@@ -66,13 +66,20 @@ def _index_view(spark: SparkSession, spec: dict):
     raise ValueError(f"unknown index kind {kind!r} (expected 'ivf' or 'minhash')")
 
 
-def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
-    """(path, format) of the change log. With ``cfg.connectors_path``
-    set, ``changes_dir`` is a connector NAME resolved through the
-    declarative registry (conns.yaml analog) with ``source_params``
-    bound into its <param> slots; otherwise it is a bare path."""
+def _resolve_source(cfg: EngineConfig) -> tuple[str, str, dict[str, str]]:
+    """(path, format, reader options) of the change log. With
+    ``cfg.connectors_path`` set, ``changes_dir`` is a connector NAME
+    resolved through the declarative registry (conns.yaml analog) with
+    ``source_params`` bound into its <param> slots; otherwise it is a
+    bare path (no extra options). Connector reader options (header/sep/
+    encoding quirks, S3) are forwarded so the engine parses a staged
+    csv exactly like ``Connector.read`` would — previously they were
+    dropped and a header row replayed as a quarantined malformed row.
+    The http payload-format default is 'csv', matching
+    ``Connector.read``/``read_stream`` (the two disagreed: engine said
+    parquet, connector said csv)."""
     if cfg.connectors_path:
-        from oec_etl_spark.connectors import fetch
+        from oec_etl_spark.connectors import _HTTP_OPTS, fetch
 
         conn = fetch(cfg.changes_dir, cfg.connectors_path)
         if conn.driver == "http":
@@ -82,9 +89,10 @@ def _resolve_source(cfg: EngineConfig) -> tuple[str, str]:
             import os as _os
 
             staged = conn.stage(cfg.source_params)
-            return _os.path.dirname(staged), conn.options.get("format", "parquet")
-        return conn.resolve(cfg.source_params), conn.driver
-    return cfg.changes_dir, cfg.format
+            opts = {k: v for k, v in conn.options.items() if k not in _HTTP_OPTS}
+            return _os.path.dirname(staged), conn.options.get("format", "csv"), opts
+        return conn.resolve(cfg.source_params), conn.driver, dict(conn.options)
+    return cfg.changes_dir, cfg.format, {}
 
 
 def quarantine_split(
@@ -385,13 +393,13 @@ def _build_query(
         append_jsonl(lineage_path, rec.to_dict())
         housekeep_source()
 
-    src_path, src_format = _resolve_source(cfg)
+    src_path, src_format, src_opts = _resolve_source(cfg)
     read_schema = CHANGE_SCHEMA
     if cfg.transactional:
         from oec_etl_spark.schemas import CHANGE_SCHEMA_TX
 
         read_schema = CHANGE_SCHEMA_TX  # absent tx columns read as NULL = autocommit
-    reader = spark.readStream.schema(read_schema).format(src_format)
+    reader = spark.readStream.schema(read_schema).format(src_format).options(**src_opts)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
     stream = reader.load(src_path)
@@ -514,8 +522,8 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         files_per_bucket=cfg.files_per_bucket, profile=cfg.profile,
         key_bloom_bits=cfg.key_bloom_bits,
     )
-    src_path, src_format = _resolve_source(cfg)
-    df = spark.read.schema(CHANGE_SCHEMA).format(src_format).load(src_path)
+    src_path, src_format, src_opts = _resolve_source(cfg)
+    df = spark.read.schema(CHANGE_SCHEMA).format(src_format).options(**src_opts).load(src_path)
     if cfg.transactional:
         # one-shot apply: the whole log is one batch, so a transaction
         # can only be incomplete if the LOG is (truncated tail); gate it
@@ -523,7 +531,7 @@ def replay_batch(spark: SparkSession, cfg: EngineConfig) -> BatchLineage:
         from oec_etl_spark.schemas import CHANGE_SCHEMA_TX
         from oec_etl_spark.streaming.txn import TxnGate
 
-        df = spark.read.schema(CHANGE_SCHEMA_TX).format(src_format).load(src_path)
+        df = spark.read.schema(CHANGE_SCHEMA_TX).format(src_format).options(**src_opts).load(src_path)
         gate = TxnGate(spark, f"{cfg.target_dir}/_tx_state",
                        timeout_batches=cfg.tx_timeout_batches,
                        ledger_batches=cfg.tx_ledger_batches)

@@ -90,7 +90,7 @@ def source_lag(cfg: EngineConfig) -> dict:
     """
     from oec_etl_spark.streaming.engine import _resolve_source
 
-    src_path, src_format = _resolve_source(cfg)
+    src_path, src_format, _opts = _resolve_source(cfg)
     ext = ".parquet" if src_format == "parquet" else ".json"
     on_disk = sorted(
         (f for f in glob.glob(os.path.join(src_path, f"*{ext}"))),
@@ -147,7 +147,7 @@ def archive_committed(cfg: EngineConfig, dest_dir: str | None = None,
     """
     from oec_etl_spark.streaming.engine import _resolve_source
 
-    src_path, src_format = _resolve_source(cfg)
+    src_path, src_format, _opts = _resolve_source(cfg)
     ext = ".parquet" if src_format == "parquet" else ".json"
     done = _committed_files(cfg.checkpoint_dir)
     now = __import__("time").time()

@@ -76,7 +76,9 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
-            record[name] = {"rows_match": True, "schema_match": None,
+            # rows_match stays null: only a row count was produced, and the
+            # committed artifact must not read as a passed comparison.
+            record[name] = {"rows_match": None, "schema_match": None,
                             "hash_match": None, "spark_rows": len(sdf),
                             "oracle_rows": None, "err": None,
                             "note": "no oracle: rows-only check"}

@@ -208,6 +208,17 @@ def main() -> int:
     print(json.dumps(summary), flush=True)
     spark.stop()
     logf.close()
+    # Render BENCH/endurance.md from the log right here, so the committed
+    # evidence can never lag the run (round-3 lesson: the run finished its
+    # first wave only and the report was never generated).
+    import subprocess
+
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "endurance_report.py")],
+        check=True,
+    )
     return 0
 
 
