@@ -154,6 +154,46 @@ def score_expr(weights: list[float], text_col: str = "text", *,
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), dp)
 
 
+def score_spark_sql(weights: list[float], text_col: str = "text", *,
+                    portable_hash: bool = True, dp: int = 4) -> str:
+    """:func:`score_expr` rendered as a Spark-SQL STRING — the form the
+    streaming engine's declarative ``derives`` accept (engine.py
+    ``apply_derives`` runs ``F.expr`` per entry), so a trained
+    classifier deploys as one line of pipeline config:
+
+        derives={"q_score": score_spark_sql(clf.weights)}
+
+    Same expression tree as the Column builder (split → aggregate over
+    element_at of a literal weights array → sigmoid → round), so the
+    stored derive and a post-hoc ``score_expr`` recomputation agree
+    exactly. Weights ride as ``CAST('<repr>' AS DOUBLE)`` literals —
+    repr round-trips IEEE doubles, and the string cast dodges Spark
+    SQL's decimal default for bare ``1.0`` literals. Literal-weights
+    plan only: at production dims (> :data:`LITERAL_DIM_MAX`) use the
+    Column API (`score_expr`), whose Arrow path has no SQL rendering."""
+    dim = len(weights) - 1
+    if dim > LITERAL_DIM_MAX:
+        raise ValueError(
+            f"score_spark_sql renders literal weights (dim {dim} > "
+            f"LITERAL_DIM_MAX {LITERAL_DIM_MAX}); use score_expr's Arrow path"
+        )
+    sid = f"concat('{_SEED}:', tok)"
+    if portable_hash:
+        bucket = (f"CAST(CAST(conv(substring(md5({sid}), 1, 8), 16, 10) "
+                  f"AS BIGINT) % {dim} AS INT)")
+    else:
+        bucket = f"CAST(pmod(xxhash64({sid}), {dim}) AS INT)"
+    w = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in weights[:dim])
+    bias = f"CAST('{weights[dim]!r}' AS DOUBLE)"
+    t = f"split({text_col}, ' ')"
+    tok_sum = (
+        f"aggregate({t}, CAST(0.0 AS DOUBLE), "
+        f"(acc, tok) -> acc + element_at(array({w}), {bucket} + 1), "
+        f"acc -> acc / size({t}))"
+    )
+    return f"round(1.0D / (1.0D + exp(-({bias} + {tok_sum}))), {dp})"
+
+
 @dataclass(frozen=True)
 class TrainedClassifier:
     weights: list[float]          # [w_0..w_{D-1}, bias]

@@ -16,9 +16,12 @@ bugs live. Two replays of the SAME seeded change log:
      2-way fan-out writes, per-batch null profiling, metrics +
      quarantine side outputs, TTL (wider than the data's event-time
      span, so it versions but drops nothing), snapshot expiry,
-     in-loop MinHash + IVF index sync, and committed-segment
-     archiving — replayed in many small micro-batches so transactions
-     straddle batch boundaries.
+     in-loop MinHash + IVF index sync, a TRAINED quality-classifier
+     score attached as an ingest derive (round-4 surface), and
+     committed-segment archiving — replayed in many small
+     micro-batches so transactions straddle batch boundaries.
+     After both replays, span-dedup stats run over both final tables
+     (round-4 surface) and must agree.
 
 Every enabled knob is chosen to be SEMANTICS-PRESERVING on the core
 transcript columns, so the gate is exact: both final tables must be
@@ -84,6 +87,22 @@ def main() -> int:
         "role_key string, role_rank int",
     ).write.parquet(f"{work}/dim_roles")
 
+    # round-4 composition surface: a TRAINED quality classifier deployed
+    # as an ingest derive (operators/classifier.py score_spark_sql). The
+    # label is a learnable text property of the generated corpus; what
+    # the soak gates is not AUC but that the score attached at ingest
+    # equals a post-hoc recomputation on the final table (derive and
+    # payload travel together through tx gate x MOR x LWW x compaction).
+    from oec_etl_spark.operators import classifier as qc
+
+    clf = qc.train(
+        spark.read.parquet(f"{work}/changes_a")
+        .where("text IS NOT NULL")
+        .select("text", F.expr("CAST(text LIKE '%join%' AS INT)").alias("label"))
+        .limit(20_000),
+        "label", dim=64, n_iter=2,
+    )
+
     cfg_a = EngineConfig(
         changes_dir=f"{work}/changes_a",
         target_dir=f"{work}/target_a",
@@ -110,7 +129,10 @@ def main() -> int:
         key_bloom_bits=16384,
         profile=True,
         constraints={"key_present": "conv_id IS NOT NULL"},  # subsumed by quarantine: no-op
-        derives={"text_len": "length(text)"},  # NEW column: core untouched
+        derives={
+            "text_len": "length(text)",  # NEW column: core untouched
+            "q_score": qc.score_spark_sql(clf.weights),  # trained model at ingest
+        },
         enrich={
             "path": f"{work}/dim_roles",
             "key": "role",
@@ -168,6 +190,32 @@ def main() -> int:
         if "role_rank" in extra_cols
         else False
     )
+    checks["classifier_derive_equal"] = (
+        tb_full.filter(
+            F.col("text").isNotNull()
+            & (F.col("q_score") != qc.score_expr(clf.weights))
+        ).isEmpty()
+        if "q_score" in extra_cols
+        else False
+    )
+    # span-dedup gate stats over BOTH final tables: the operator runs on
+    # the CDC output (turn key as doc id), and core-equality must make
+    # the two summaries identical — composition proof for the span
+    # surface on top of the full stack.
+    from oec_etl_spark.operators.span_dedup import span_dedup_stats
+
+    def _span_stats(t):
+        docs = t.filter(F.col("text").isNotNull()).select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
+        return span_dedup_stats(docs)
+
+    sp_a, sp_b = _span_stats(ta), _span_stats(tb)
+    checks["span_stats_docs"] = sp_b.count()
+    checks["span_stats_equal"] = (
+        sp_a.exceptAll(sp_b).isEmpty() and sp_b.exceptAll(sp_a).isEmpty()
+    )
     fsck = sink_b.fsck()
     checks["doctor_ok"] = fsck.get("ok")
     checks["doctor_issues"] = fsck.get("issues")
@@ -189,6 +237,8 @@ def main() -> int:
         and checks["doctor_ok"]
         and checks["derive_consistent"]
         and checks["enrich_consistent"]
+        and checks["classifier_derive_equal"]
+        and checks["span_stats_equal"]
         and checks["indexes_exist"]
         and checks["rows_a"] == checks["rows_b"]
         and checks["rows_a"] > 0
@@ -209,6 +259,8 @@ def main() -> int:
         f"- core columns row-identical: **{checks['core_equal']}**",
         f"- kitchen-sink extra columns: {checks['b_extra_columns']} (derive+enrich, schema-evolved in)",
         f"- derive consistent: {checks['derive_consistent']}; enrich consistent: {checks['enrich_consistent']}",
+        f"- trained-classifier ingest derive equals post-hoc rescoring: **{checks['classifier_derive_equal']}**",
+        f"- span-dedup stats identical across both tables ({checks['span_stats_docs']} docs with cross-doc spans): {checks['span_stats_equal']}",
         f"- doctor ok: {checks['doctor_ok']} (issues: {checks['doctor_issues']})",
         f"- in-loop indexes (minhash, ivf) materialized: {checks['indexes_exist']}",
         f"- committed segments archived by in-loop retention: {checks['archived_segments']}",

@@ -125,6 +125,25 @@ def test_auto_switch_threshold(spark, corpus):
     assert "ArrowEvalPython" in _plan(arr)
 
 
+@pytest.mark.parametrize("portable", [True, False])
+def test_spark_sql_rendering_matches_column(spark, corpus, portable):
+    """score_spark_sql (the string the engine's declarative derives
+    consume) must score exactly like the Column builder — same
+    expression tree, so same rounding, same hash tier."""
+    clf = C.train(corpus, "label", dim=64, n_iter=2, portable_hash=portable)
+    got = corpus.select(
+        "doc_id",
+        C.score_expr(clf.weights, portable_hash=portable).alias("c"),
+        F.expr(C.score_spark_sql(clf.weights, portable_hash=portable)).alias("s"),
+    )
+    assert got.filter("c <> s").isEmpty()
+
+
+def test_spark_sql_rendering_rejects_arrow_dims():
+    with pytest.raises(ValueError, match="LITERAL_DIM_MAX"):
+        C.score_spark_sql([0.0] * (C.LITERAL_DIM_MAX + 2))
+
+
 def test_arrow_scoring_is_map_only(spark, corpus):
     """The large-D plan must stay a scan → project pipeline: no join,
     no Exchange — same contract the literal plan is held to."""
