@@ -117,11 +117,20 @@ def main() -> int:
             print(f"OK    {name}: {len(a)} rows match [{t_spark:.1f}s]")
     spark.stop()
     if not only:
-        out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "CORRECTNESS_local.json")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = os.path.join(repo, "CORRECTNESS_local.json")
         with open(out, "w") as f:
             json.dump({"sf_dir": sf_dir, "queries": record}, f, indent=2)
         print(f"wrote {out} ({len(record)} queries, {failures} failures)")
+        # Same gate regenerates the plan evidence, so PLANS.md can never
+        # lag the registry again (round-3 finding: plans were committed
+        # at 87 queries after the registry grew to 90).
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "dump_plans.py")],
+            check=True,
+        )
     return 1 if failures else 0
 
 

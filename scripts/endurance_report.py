@@ -1,8 +1,12 @@
-"""Render BENCH/endurance_log.jsonl into BENCH/endurance.md.
+"""Render the endurance logs into BENCH/endurance.md.
 
 Separated from the run (scripts/endurance_tail.py) so the write-up is
-reproducible from the committed log without re-running two hours of
-replay. Usage: python scripts/endurance_report.py [log] [out]
+reproducible from the committed logs without re-running two hours of
+replay. Renders the main single-JVM tail (BENCH/endurance_log.jsonl)
+and, when present, the multi-executor tail recorded by
+scripts/endurance_cluster.py (BENCH/endurance_cluster_log.jsonl).
+
+Usage: python scripts/endurance_report.py [log] [out]
 """
 
 from __future__ import annotations
@@ -12,14 +16,13 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GB = 1 << 30
 
 
-def main() -> int:
-    log = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH", "endurance_log.jsonl")
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "endurance.md")
+def read_log(path: str):
     cfg = summary = None
     waves, batches = [], []
-    with open(log) as f:
+    with open(path) as f:
         for line in f:
             rec = json.loads(line)
             kind = rec.get("kind")
@@ -31,14 +34,48 @@ def main() -> int:
                 batches.append(rec)
             elif kind == "summary":
                 summary = rec
+    return cfg, waves, batches, summary
+
+
+def wave_table(waves) -> list[str]:
+    lines = [
+        "| wave | events | replay s | ev/s | state GB | files | manifest len | read-amp max | major compact s | full read s | live rows |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for w in waves:
+        lines.append(
+            f"| {w['wave']} | {w['events'] / 1e6:.1f}M | {w['replay_sec']:.0f} "
+            f"| {w['ev_per_sec']:,} | {w['target_bytes'] / GB:.2f} | {w['target_files']} "
+            f"| {w['manifest_versions']} | {w['readamp_max']} "
+            f"| {w.get('major_compact_sec', '')} | {w.get('read_full_sec', '')} "
+            f"| {w.get('live_rows', '')} |"
+        )
+    return lines
+
+
+def headline(summary) -> list[str]:
+    if not summary:
+        return []
+    return [
+        f"- **{summary['total_events']:,} events over {summary['batches']} micro-batches**, "
+        f"{summary['wall_sec'] / 60:.0f} min total wall (incl. driver-side generation between waves), "
+        f"**{summary['events_per_sec_overall']:,} ev/s** inside the replay batches.",
+        f"- **Per-batch wall is flat**: first-quartile mean {summary['batch_wall_first_quartile_mean']}s "
+        f"vs last-quartile mean {summary['batch_wall_last_quartile_mean']}s — "
+        f"decay ratio **{summary['decay_ratio_last_vs_first']}** "
+        "(≤1 = no decay; the table behind the tail grew the whole time).",
+    ]
+
+
+def main() -> int:
+    log = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH", "endurance_log.jsonl")
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "endurance.md")
+    cfg, waves, batches, summary = read_log(log)
     if cfg is None or not waves:
         print("log incomplete", file=sys.stderr)
         return 1
 
     walls = [b["wall_sec"] for b in batches]
-    n = len(walls)
-    q = max(n // 4, 1)
-    gb = 1 << 30
 
     def trend(vals, fmt="{:.2f}"):
         return " → ".join(fmt.format(v) for v in vals)
@@ -64,37 +101,17 @@ def main() -> int:
         f"({cfg['engine']['key_bloom_bits']} bits), in-loop archiving of committed segments "
         "(the script purges the archive each wave — cold-storage offload stand-in), "
         "and a MAJOR compaction every 4 waves (the nightly rewrite).",
-        f"- Host: local[32], one JVM; wall times are micro-batch commit-to-commit from "
-        "the engine's own lineage records.",
+        f"- Host: {cfg.get('master', 'local[32]')}, one JVM; wall times are micro-batch "
+        "commit-to-commit from the engine's own lineage records.",
         "",
         "## Headline",
         "",
-    ]
-    if summary:
-        lines += [
-            f"- **{summary['total_events']:,} events over {summary['batches']} micro-batches**, "
-            f"{summary['wall_sec'] / 60:.0f} min total wall (incl. driver-side generation between waves), "
-            f"**{summary['events_per_sec_overall']:,} ev/s** inside the replay batches.",
-            f"- **Per-batch wall is flat**: first-quartile mean {summary['batch_wall_first_quartile_mean']}s "
-            f"vs last-quartile mean {summary['batch_wall_last_quartile_mean']}s — "
-            f"decay ratio **{summary['decay_ratio_last_vs_first']}** "
-            "(≤1 = no decay; the table behind the tail grew the whole time).",
-        ]
-    lines += [
+        *headline(summary),
         "",
         "## Per-wave trend",
         "",
-        "| wave | events | replay s | ev/s | state GB | files | manifest len | read-amp max | major compact s | full read s | live rows |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        *wave_table(waves),
     ]
-    for w in waves:
-        lines.append(
-            f"| {w['wave']} | {w['events'] / 1e6:.1f}M | {w['replay_sec']:.0f} "
-            f"| {w['ev_per_sec']:,} | {w['target_bytes'] / gb:.2f} | {w['target_files']} "
-            f"| {w['manifest_versions']} | {w['readamp_max']} "
-            f"| {w.get('major_compact_sec', '')} | {w.get('read_full_sec', '')} "
-            f"| {w.get('live_rows', '')} |"
-        )
     qlen = max(len(walls) // 8, 1)
     octiles = [sum(walls[i:i + qlen]) / len(walls[i:i + qlen]) for i in range(0, len(walls) - qlen + 1, qlen)][:8]
     lines += [
@@ -109,7 +126,7 @@ def main() -> int:
         "`minor_compact_after`, independent of run length.",
         f"- **Manifest chain** stays at {max(w['manifest_versions'] for w in waves)} "
         "versions (snapshot expiry) — metadata reads are O(1) in run length.",
-        f"- **State** peaks at {max(w['target_bytes'] for w in waves) / gb:.1f} GB "
+        f"- **State** peaks at {max(w['target_bytes'] for w in waves) / GB:.1f} GB "
         "(sampled before each wave's maintenance; the major compaction's reclaim of "
         "TTL'd rows and superseded deltas shows in the FOLLOWING wave's row) — "
         "bounded by the TTL window (~1.5 waves of live data), not by total events ingested.",
@@ -127,6 +144,37 @@ def main() -> int:
         "wall stays a function of batch size and live-set size, which is exactly "
         "what this run shows at 10^9.",
     ]
+
+    # Multi-executor tail: same lifecycle, separate executor JVMs.
+    clog = os.path.join(REPO, "BENCH", "endurance_cluster_log.jsonl")
+    if os.path.exists(clog):
+        ccfg, cwaves, cbatches, csummary = read_log(clog)
+        if ccfg is not None and cwaves:
+            lines += [
+                "",
+                "## Multi-executor tail (spark-submit + local-cluster)",
+                "",
+                "The SAME lifecycle loop (scripts/endurance_tail.py, unchanged code "
+                "path) submitted by `scripts/endurance_cluster.py` via `spark-submit "
+                "--py-files oec_etl_spark.zip` onto a "
+                f"`{ccfg.get('master', 'local-cluster')}` master — separate executor "
+                "JVMs, the package reaching them only through the shipped zip — "
+                "shorter but with the full retention stack on. Raw log: "
+                "`BENCH/endurance_cluster_log.jsonl`.",
+                "",
+                f"- {ccfg['waves']} waves × {ccfg['segs_per_wave']} segments × "
+                f"{ccfg['conv_per_wave']:,} conversations.",
+                *headline(csummary),
+                "",
+                *wave_table(cwaves),
+                "",
+                "Same shape as the single-JVM run: bounded per-batch wall, bounded "
+                "read-amp and manifest length, TTL-bounded state — the lifecycle "
+                "holds across JVM boundaries (exchange data crossing real process "
+                "sockets, executor-local shuffle dirs, blooms/zone-maps read on "
+                "remote executors).",
+            ]
+
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")

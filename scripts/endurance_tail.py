@@ -32,8 +32,15 @@ human write-up of one recorded run.
 
 Usage:
   python scripts/endurance_tail.py [waves] [conv_per_wave] [segs_per_wave]
+                                   [workdir] [log_name]
 Defaults (16 waves x 5M conversations x 8 segments) replay ~1.0e9
 events over 128 micro-batches in roughly an hour on 32 cores.
+
+Env ENDURANCE_MASTER overrides the Spark master (default local[32]);
+the sentinel value FROM_SUBMIT builds the session with a bare
+getOrCreate() so `spark-submit --master local-cluster[...]` wins —
+that is how scripts/endurance_cluster.py reruns this exact lifecycle
+across separate executor JVMs (the multi-executor endurance evidence).
 """
 
 from __future__ import annotations
@@ -72,6 +79,8 @@ def main() -> int:
     conv_per_wave = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
     segs_per_wave = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     work = sys.argv[4] if len(sys.argv) > 4 else "/tmp/oec_endurance"
+    log_name = sys.argv[5] if len(sys.argv) > 5 else "endurance_log.jsonl"
+    master = os.environ.get("ENDURANCE_MASTER", "local[32]")
     major_every = 4
     read_every = 4
 
@@ -112,8 +121,14 @@ def main() -> int:
         archive_dir=archive,
     )
 
-    spark = get_spark(master="local[32]", shuffle_partitions=32)
-    log_path = os.path.join(REPO, "BENCH", "endurance_log.jsonl")
+    if master == "FROM_SUBMIT":
+        # spark-submit's --master / --conf must win (local-cluster run)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        spark = get_spark(master=master, shuffle_partitions=32)
+    log_path = os.path.join(REPO, "BENCH", log_name)
     logf = open(log_path, "w")
 
     def emit(rec: dict) -> None:
@@ -122,6 +137,7 @@ def main() -> int:
 
     emit({"kind": "run_config", "waves": waves, "conv_per_wave": conv_per_wave,
           "segs_per_wave": segs_per_wave, "ttl_seconds": ttl_seconds,
+          "master": spark.sparkContext.master,
           "engine": {k: v for k, v in cfg.__dict__.items()
                      if isinstance(v, (int, float, str, bool, type(None)))}})
 
