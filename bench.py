@@ -24,6 +24,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Non-headline registry queries that still get driver-grade timing each
+# round (VERDICT r3 item 7; the 4 round-3 operators were promoted straight
+# into the headline set — see `headline=True  # round-4 rotation` in the
+# registry). These are the heaviest remaining non-headline shapes. NOT
+# counted into the headline total ("value"), so round-over-round
+# comparisons of the headline stay apples-to-apples.
+EXTENDED_SET = [
+    "olap_nation_year_drilldown",
+    "events_sessionize",
+    "orders_cube",
+    "lang_id_confusion",
+    "simhash_docs",
+    "semantic_dedup_exemplars",
+]
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -164,6 +180,22 @@ def main() -> None:
             print(f"  {name}: {dt}s ({n} rows)", file=sys.stderr)
     total += cdc_sec
 
+    # Extended (non-headline) timings: the newest / heaviest operators get
+    # driver-grade numbers too, WITHOUT changing the headline total that is
+    # compared round-over-round. BENCH_EXTENDED=0 skips.
+    extended: dict[str, float] = {}
+    if mode == "all" and os.environ.get("BENCH_EXTENDED", "1") == "1":
+        for name in EXTENDED_SET:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
+            build = spec.bench_build or spec.build
+            t0 = time.time()
+            n = build(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            extended[name] = dt
+            print(f"  [ext] {name}: {dt}s ({n} rows)", file=sys.stderr)
+
     out = {
         "metric": "headline queries + CDC replay wall time",
         "value": round(total, 3),
@@ -175,6 +207,8 @@ def main() -> None:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "platform_probe": _platform_probe(),
     }
+    if extended:
+        out["extended"] = extended
     print(json.dumps(out))
     spark.stop()
 
