@@ -209,6 +209,16 @@ def main() -> None:
     }
     if extended:
         out["extended"] = extended
+    # The headline set grew 10 → 14 entries in round 4 (the round-3
+    # operators were rotated in), so "value" is not comparable to
+    # BENCH_r03's. This subtotal restricts to the round-3 headline set
+    # for apples-to-apples round-over-round comparison.
+    r3_set = ["cdc_replay", "pricing_summary", "revenue_by_nation",
+              "top_parts_per_brand", "events_lww_latest", "events_hourly_rollup",
+              "dedup_minhash_lsh", "ann_brute_topk", "events_asof_enrich",
+              "media_decode_meta"]
+    if all(n in queries for n in r3_set):
+        out["value_r3_comparable"] = round(sum(queries[n] for n in r3_set), 3)
     print(json.dumps(out))
     spark.stop()
 

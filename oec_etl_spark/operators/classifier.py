@@ -98,17 +98,25 @@ def _margin_arrow(weights: list[float], text_col: str,
     def _gather_margin(bs: pd.Series) -> pd.Series:
         if len(bs) == 0:
             return pd.Series([], dtype="float64")
-        lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+        # NULL text ⇒ split/transform yield a NULL array ⇒ None element
+        # here; the literal plan's aggregate returns NULL for that row,
+        # so this plan must too (NaN in the result column ⇒ SQL NULL).
+        isnull = np.fromiter((b is None for b in bs), dtype=bool, count=len(bs))
+        lens = np.fromiter((0 if b is None else len(b) for b in bs),
+                           dtype=np.int64, count=len(bs))
         total = int(lens.sum())
         if total == 0:
-            return pd.Series(np.full(len(bs), bias))
-        flat = np.concatenate([np.asarray(b, dtype=np.int64) for b in bs])
-        vals = w_arr[flat]
-        offs = np.zeros(len(bs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        sums = np.add.reduceat(vals, np.minimum(offs, total - 1))
-        sums = np.where(lens > 0, sums, 0.0)
-        return pd.Series(bias + sums / np.maximum(lens, 1))
+            out = np.full(len(bs), bias)
+        else:
+            flat = np.concatenate(
+                [np.asarray(b, dtype=np.int64) for b in bs if b is not None and len(b)])
+            vals = w_arr[flat]
+            offs = np.zeros(len(bs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sums = np.add.reduceat(vals, np.minimum(offs, total - 1))
+            sums = np.where(lens > 0, sums, 0.0)
+            out = bias + sums / np.maximum(lens, 1)
+        return pd.Series(np.where(isnull, np.nan, out))
 
     t = F.split(F.col(text_col), " ")
     buckets = F.transform(t, lambda tok: _bucket(tok, dim, portable_hash))

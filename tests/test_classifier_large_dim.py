@@ -151,3 +151,25 @@ def test_arrow_scoring_is_map_only(spark, corpus):
     plan = _plan(corpus.select(C.score_expr(w, dim_literal_max=4).alias("s")))
     assert "Exchange" not in plan, f"large-D scoring must not shuffle:\n{plan}"
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_null_text_scores_null_on_both_plans(spark, portable):
+    """NULL text must score NULL on BOTH plans. The literal plan gets
+    this for free (split(NULL) → NULL → aggregate(NULL) → NULL); the
+    Arrow plan sees a None token array and must not crash on len(None)
+    — it returns NaN, which Spark surfaces as SQL NULL."""
+    df = spark.createDataFrame(
+        [(0, "the quick fox"), (1, None), (2, "buy free click")],
+        "doc_id long, text string",
+    )
+    w = [0.1] * 8 + [0.05]
+    got = df.select(
+        "doc_id",
+        C.score_expr(w, portable_hash=portable).alias("lit"),
+        C.score_expr(w, portable_hash=portable, dim_literal_max=4).alias("arr"),
+    ).orderBy("doc_id").collect()
+    assert got[1].lit is None and got[1].arr is None
+    for r in (got[0], got[2]):
+        assert r.lit is not None
+        assert r.lit == r.arr
