@@ -35,6 +35,14 @@ portable across Spark and DuckDB by construction.
 The reference repo tokenizes nothing (closest: zfill/substring string
 massaging, ``/root/reference/etl/dim_hs_pipeline.py:19-32``); this is
 part of the LLM-pipeline surface the new engine adds.
+
+Precondition (shared with the DuckDB oracle, so both engines agree on
+every input they agree is valid): whitespace tokens must not contain
+the wrapper characters ``<`` ``>`` — a ``>`` inside a word breaks the
+bracket token stream. Tokenizer-training pipelines strip markup before
+BPE anyway (HTML tags would otherwise dominate the learned merges);
+run text through a markup-stripping derive first, or remap the two
+characters, if the corpus carries raw HTML.
 """
 
 from __future__ import annotations

@@ -79,13 +79,24 @@ def duplicated_grams(windows: DataFrame, *, id_col: str = "doc_id",
 
 def doc_dup_spans(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                   width: int = WIDTH, min_docs: int = 2,
-                  max_docs: int | None = None) -> DataFrame:
+                  max_docs: int | None = None, hashed: bool = False) -> DataFrame:
     """Maximal cross-doc duplicated spans per doc:
     (id_col, span_start, span_end) — token positions, 1-based
-    inclusive. Overlapping/adjacent duplicated windows are merged."""
+    inclusive. Overlapping/adjacent duplicated windows are merged.
+
+    ``hashed=True`` is the production tier: grams become xxhash64 longs
+    BEFORE both shuffles (the distinct-pair agg and the probe join), so
+    the wide window string never leaves the map side — the same
+    dual-tier pattern as MinHash in operators/dedup.py. A 64-bit
+    collision can only misflag a single window as duplicated (false
+    positive), the usual hashed-dedup tradeoff; the default raw tier is
+    exact and is what the DuckDB oracle replicates."""
     wins = doc_windows(df, id_col=id_col, text_col=text_col, width=width)
-    dup = duplicated_grams(wins, id_col=id_col, min_docs=min_docs, max_docs=max_docs)
-    hits = wins.join(dup.select("gram"), "gram").select(id_col, "pos")
+    dup = duplicated_grams(wins, id_col=id_col, min_docs=min_docs,
+                           max_docs=max_docs, hashed=hashed)
+    probe_gram = F.xxhash64("gram") if hashed else F.col("gram")
+    probe = wins.select(F.col(id_col), "pos", probe_gram.alias("gram"))
+    hits = probe.join(dup.select("gram"), "gram").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = hits.withColumn(
         "brk",
@@ -110,12 +121,13 @@ def doc_dup_spans(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
 
 def span_dedup_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                      width: int = WIDTH, min_docs: int = 2,
-                     max_docs: int | None = None) -> DataFrame:
+                     max_docs: int | None = None, hashed: bool = False) -> DataFrame:
     """Per-doc duplicated-span summary for every doc carrying at least
     one cross-doc span: (id_col, n_dup_spans, dup_tokens, n_tokens,
-    dup_ratio). dup_ratio is dup_tokens/n_tokens rounded to 4dp."""
+    dup_ratio). dup_ratio is dup_tokens/n_tokens rounded to 4dp.
+    ``hashed`` selects the production gram tier (see doc_dup_spans)."""
     spans = doc_dup_spans(df, id_col=id_col, text_col=text_col, width=width,
-                          min_docs=min_docs, max_docs=max_docs)
+                          min_docs=min_docs, max_docs=max_docs, hashed=hashed)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
@@ -132,7 +144,7 @@ def span_dedup_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "
 
 def strip_dup_spans(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
                     width: int = WIDTH, min_docs: int = 2,
-                    max_docs: int | None = None) -> DataFrame:
+                    max_docs: int | None = None, hashed: bool = False) -> DataFrame:
     """The corpus with every cross-doc duplicated span removed from
     every document (the conservative variant of Lee et al.'s
     remove-all-copies: identical spans vanish everywhere, so no global
@@ -144,7 +156,7 @@ def strip_dup_spans(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     covers their position (higher-order ``filter`` + ``exists``)."""
     spans = (
         doc_dup_spans(df, id_col=id_col, text_col=text_col, width=width,
-                      min_docs=min_docs, max_docs=max_docs)
+                      min_docs=min_docs, max_docs=max_docs, hashed=hashed)
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__spans"))
     )

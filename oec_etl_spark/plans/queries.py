@@ -1370,6 +1370,18 @@ _SPAN_HITS_SQL = f"""
     tags="exact substring dedup: cross-doc repeated {W}-token spans, gaps-and-islands merge "
          "(distributed suffix-array approximation, Lee et al. 2022)".format(W=_SPAN_W),
     headline=True,  # round-4 rotation: newest dedup operator into the bench set
+    # production tier: grams ride the two shuffles as xxhash64 longs, not
+    # 8-token strings (same dual-tier pattern as dedup_minhash_lsh; the
+    # oracle keeps raw grams so DuckDB replicates exactly)
+    bench_build=lambda spark, sf_dir: span_dedup.span_dedup_stats(
+        load(spark, sf_dir, "documents"), hashed=True
+    ).select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        "n_tokens",
+        "dup_ratio",
+    ),
 )
 def doc_span_dedup(spark, sf_dir):
     return span_dedup.span_dedup_stats(load(spark, sf_dir, "documents")).select(

@@ -111,3 +111,34 @@ def test_hashed_tier_matches_string_tier(spark):
     cardinality as the oracle tier on the same corpus."""
     wins = doc_windows(_docs(spark))
     assert duplicated_grams(wins, hashed=True).count() == duplicated_grams(wins).count()
+
+
+def test_hashed_tier_end_to_end_equals_raw(spark):
+    """The production tier (grams as xxhash64 longs through BOTH
+    shuffles — the distinct-pair agg and the probe join) must produce
+    the same spans, stats, and stripped text as the exact raw tier."""
+    docs = _docs(spark)
+    raw = sorted(map(tuple, doc_dup_spans(docs).collect()))
+    hsh = sorted(map(tuple, doc_dup_spans(docs, hashed=True).collect()))
+    assert raw == hsh
+    raw_stats = sorted(map(tuple, span_dedup_stats(docs).collect()))
+    hsh_stats = sorted(map(tuple, span_dedup_stats(docs, hashed=True).collect()))
+    assert raw_stats == hsh_stats
+    raw_strip = sorted(map(tuple, strip_dup_spans(docs).select("doc_id", "text_dedup").collect()))
+    hsh_strip = sorted(map(tuple, strip_dup_spans(docs, hashed=True).select("doc_id", "text_dedup").collect()))
+    assert raw_strip == hsh_strip
+
+
+def test_hashed_tier_shuffles_longs_not_strings(spark):
+    """Scale contract: in the hashed plan, every gram shuffle key is a
+    LONG (xxhash64 applied map-side), never the raw window string. In
+    Spark's physical-plan rendering long attributes carry the ``L``
+    suffix (``gram#12L``); a string gram would render bare."""
+    import re
+
+    plan = doc_dup_spans(_docs(spark), hashed=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    keys = re.findall(r"hashpartitioning\([^)]*?(gram#\d+L?)", plan)
+    assert keys, f"expected gram shuffles in the plan:\n{plan}"
+    bare = [k for k in keys if not k.endswith("L")]
+    assert not bare, f"raw string gram crossed an Exchange: {bare}"
