@@ -67,6 +67,19 @@ def headline(summary) -> list[str]:
     ]
 
 
+def run_notes(log_path: str) -> list[str]:
+    """Optional operator annotations: BENCH/<logname>.notes.md is
+    included verbatim as a '## Run notes' section, so observations
+    about a recorded run (host contention windows, restarts) survive
+    re-rendering instead of living in a hand-edited report."""
+    notes = log_path.rsplit(".jsonl", 1)[0] + ".notes.md"
+    if not os.path.exists(notes):
+        return []
+    with open(notes) as f:
+        body = f.read().strip()
+    return ["## Run notes", "", body, ""] if body else []
+
+
 def main() -> int:
     log = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH", "endurance_log.jsonl")
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "endurance.md")
@@ -104,6 +117,7 @@ def main() -> int:
         f"- Host: {cfg.get('master', 'local[32]')}, one JVM; wall times are micro-batch "
         "commit-to-commit from the engine's own lineage records.",
         "",
+        *run_notes(log),
         "## Headline",
         "",
         *headline(summary),
