@@ -118,12 +118,20 @@ def quarantine_split(
     non-null ts (the horizon) and constraints are exempt as for
     deletes. Snapshot reads (op 'R') are full rows and face the full
     gate. One codegen'd CASE over one scan — no per-rule passes."""
-    ok = F.col("op").isin(*VALID_OPS) & F.when(
-        F.col("op") == "T", F.col("ts").isNotNull() & F.col("seq").isNotNull()
-    ).otherwise(
-        F.col("conv_id").isNotNull()
-        & F.col("turn_idx").isNotNull()
-        & F.col("seq").isNotNull()
+    # coalesce: op NULL makes isin() three-valued NULL, and NOT NULL is
+    # still NULL — without it a null-op row with valid keys slips past
+    # the WHEN and through the gate (the docstring's "unknown op / null
+    # key -> malformed" contract requires rejection).
+    ok = F.coalesce(
+        F.col("op").isin(*VALID_OPS)
+        & F.when(
+            F.col("op") == "T", F.col("ts").isNotNull() & F.col("seq").isNotNull()
+        ).otherwise(
+            F.col("conv_id").isNotNull()
+            & F.col("turn_idx").isNotNull()
+            & F.col("seq").isNotNull()
+        ),
+        F.lit(False),
     )
     reason = F.when(~ok, F.lit("malformed"))
     for name, pred in (constraints or {}).items():
@@ -345,7 +353,11 @@ def _build_query(
         if cfg.routes:
             valid = valid.cache()  # each route re-filters the same batch
             preds = {n: F.expr(p) for n, p in cfg.routes.items() if p != "*"}
-            rest = ~_any(list(preds.values()))
+            # coalesce: a route predicate evaluating NULL means "not this
+            # route" (filter drops it there), so for the declared catch-all
+            # it must read as FALSE — bare ~NULL is NULL and the row would
+            # vanish from '*' too, silently losing it from every target
+            rest = ~_any([F.coalesce(p, F.lit(False)) for p in preds.values()])
             try:
                 for name in cfg.routes:  # dict order = commit order
                     if fail_after_batches is not None and len(lineages) >= fail_after_batches:
