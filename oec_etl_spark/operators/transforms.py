@@ -32,8 +32,15 @@ def rename(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
 
 def filter_not_in(df: DataFrame, col: str, values: Sequence) -> DataFrame:
     """P4 — drop aggregate/'TOTAL'/'World' pollution rows
-    (ref: trade_comtrade_monthly_pipeline.py:33-36). Pushed to the scan."""
-    return df.filter(~F.col(col).isin(list(values)))
+    (ref: trade_comtrade_monthly_pipeline.py:33-36). Pushed to the scan.
+
+    NULL parity with the pandas original: ``df.drop(df[col == v].index)``
+    never matches NaN, so NULL rows are KEPT. Bare ``~isin()`` would
+    silently drop them on three-valued logic; the explicit
+    ``IS NULL OR NOT IN`` form keeps them AND still pushes to the scan
+    (Or(IsNull, Not(In)) is a supported parquet filter)."""
+    c = F.col(col)
+    return df.filter(c.isNull() | ~c.isin(list(values)))
 
 
 def drop_null_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
