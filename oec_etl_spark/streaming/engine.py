@@ -358,6 +358,12 @@ def _build_query(
             # it must read as FALSE — bare ~NULL is NULL and the row would
             # vanish from '*' too, silently losing it from every target
             rest = ~_any([F.coalesce(p, F.lit(False)) for p in preds.values()])
+            # config contract: rows matching no route are COUNTED, then
+            # dropped (when no '*' catch-all consumes them). One count
+            # over the cached batch — no extra scan of the source.
+            n_unrouted = 0
+            if "*" not in cfg.routes.values():
+                n_unrouted = valid.filter(rest).count()
             try:
                 for name in cfg.routes:  # dict order = commit order
                     if fail_after_batches is not None and len(lineages) >= fail_after_batches:
@@ -365,6 +371,7 @@ def _build_query(
                     pred = preds.get(name, rest)
                     rec = stamp_tx(sinks[name].merge(valid.filter(pred), batch_id, quarantined=n_bad))
                     rec.route = name
+                    rec.rows_unrouted = n_unrouted
                     rec.compacted_buckets = housekeep(sinks[name])
                     lineages.append(rec)
                     append_jsonl(lineage_path, rec.to_dict())

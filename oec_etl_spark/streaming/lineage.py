@@ -67,6 +67,10 @@ class BatchLineage:
     compacted_buckets: list[int] = field(default_factory=list)
     skipped_as_committed: bool = False
     route: str | None = None  # fan-out target name (cfg.routes), None = single target
+    # rows this batch that matched NO route predicate and were dropped
+    # because no '*' catch-all is declared (batch-scoped: identical
+    # across the batch's route records; 0 whenever '*' exists)
+    rows_unrouted: int = 0
     # opt-in batch quality profile (sink profile=True): per payload
     # column, NULL count among this batch's UPSERT rows (tombstones
     # excluded — their payload is NULL by design). A null-rate spike is

@@ -81,3 +81,30 @@ def test_null_route_predicate_row_lands_in_catchall(spark, tmp_path):
     assert {r.conv_id for r in users.collect()} == {"c1"}
     assert {r.conv_id for r in rest.collect()} == {"c2", "c3"}
     assert rest.filter(F.col("role").isNull()).count() == 1
+
+
+def test_unrouted_rows_counted_without_catchall(spark, tmp_path):
+    """`EngineConfig.routes` documents that rows matching no route are
+    COUNTED per batch and dropped — the count must actually appear in
+    lineage (rows_unrouted), including NULL-predicate rows."""
+    rows = [
+        (1, "I", "c1", 1, "user", "hello", None, TS, None, None),
+        (2, "I", "c2", 1, "assistant", "hi", None, TS, None, None),
+        (3, "I", "c3", 1, None, "orphan", None, TS, None, None),      # NULL pred
+        (4, "I", "c4", 1, "tool", "unrouted", None, TS, None, None),  # FALSE pred
+    ]
+    changes = str(tmp_path / "changes")
+    spark.createDataFrame(rows, CHANGE_SCHEMA).coalesce(1).write.parquet(changes)
+    cfg = EngineConfig(
+        changes_dir=changes,
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=2,
+        routes={"users": "role = 'user'", "assistants": "role = 'assistant'"},
+    )
+    recs = run_replay(spark, cfg)
+    assert recs and all(r.rows_unrouted == 2 for r in recs)
+    users = ParquetSnapshotSink(spark, f"{cfg.target_dir}/users", 2).read_table()
+    asst = ParquetSnapshotSink(spark, f"{cfg.target_dir}/assistants", 2).read_table()
+    assert {r.conv_id for r in users.collect()} == {"c1"}
+    assert {r.conv_id for r in asst.collect()} == {"c2"}
