@@ -148,9 +148,40 @@ def _check_correctness(path: str, repo: str) -> list[str]:
     return probs
 
 
+def _check_soak(path: str, repo: str) -> list[str]:
+    """BENCH/soak_latest.md must record every gate the soak script
+    CURRENTLY implements (round-4 escape: the script was widened with a
+    trained-classifier ingest-derive gate, SURVEY described that as
+    done, but the committed record predated the widening — the old
+    audit missed it because the doc citation only asserted "PASS").
+    The soak writes a machine-readable ``gate-checks`` block; this
+    check diffs its keys against the ``checks["…"]`` assignments in the
+    script source, so a stale record fails mechanically."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    src = os.path.join(repo, "scripts", "soak_kitchen_sink.py")
+    with open(src, encoding="utf-8") as f:
+        script = f.read()
+    keys = set(re.findall(r'checks\["(\w+)"\]\s*=', script))
+    probs = []
+    m = re.search(r"<!-- gate-checks: (\{.*\}) -->", text)
+    if not m:
+        probs.append("soak record has no gate-checks block (record predates "
+                     "the current soak script — rerun scripts/soak_kitchen_sink.py)")
+        return probs
+    rec = json.loads(m.group(1))
+    missing = sorted(keys - set(rec))
+    if missing:
+        probs.append(f"soak record missing script-implemented gates: {missing}")
+    if "**VERDICT: PASS**" not in text:
+        probs.append("soak record does not record a PASS verdict")
+    return probs
+
+
 _CONTENT_CHECKS = {
     "BENCH/endurance_log.jsonl": lambda p, repo: _check_endurance_log(p),
     "BENCH/endurance.md": _check_endurance_report,
+    "BENCH/soak_latest.md": _check_soak,
     "PLANS.md": _check_plans,
     "CORRECTNESS_local.json": _check_correctness,
 }

@@ -268,6 +268,13 @@ def main() -> int:
         f"- wall (indicative only, not a benchmark): plain {wall_a:.1f}s, kitchen-sink {wall_b:.1f}s ({wall_b / wall_a:.2f}x)",
         "",
         f"**VERDICT: {'PASS' if ok else 'FAIL'}**",
+        "",
+        # Machine-readable gate block: scripts/evidence_audit.py compares
+        # these keys against the checks this script implements, so a
+        # widened soak with a stale committed record fails the gate
+        # (round-4 escape: the classifier-derive gate was added to the
+        # script but the record predated it and nothing caught that).
+        f"<!-- gate-checks: {json.dumps(checks, default=str)} -->",
     ]
     out = os.path.join(REPO, "BENCH", "soak_latest.md")
     with open(out, "w") as f:

@@ -85,6 +85,52 @@ def test_report_covering_fewer_waves_than_log_flagged(tmp_path):
                for v in res["violations"])
 
 
+_SOAK_SCRIPT = """
+checks["core_equal"] = True
+checks["doctor_ok"] = True
+checks["classifier_derive_equal"] = True
+"""
+
+
+def _mk_soak_repo(tmp_path, record: str) -> str:
+    repo = _mkrepo(tmp_path, "composition proof: BENCH/soak_latest.md\n")
+    (tmp_path / "scripts").mkdir(exist_ok=True)
+    (tmp_path / "scripts" / "soak_kitchen_sink.py").write_text(_SOAK_SCRIPT)
+    (tmp_path / "BENCH" / "soak_latest.md").write_text(record)
+    return repo
+
+
+def test_soak_record_without_gate_block_flagged(tmp_path):
+    """A record predating the machine-readable gate block (round-4's
+    stale-soak escape) must fail the audit, even though it says PASS."""
+    repo = _mk_soak_repo(tmp_path, "# soak\n**VERDICT: PASS**\n")
+    res = evidence_audit.audit(repo)
+    assert any("no gate-checks block" in v["problem"] for v in res["violations"])
+
+
+def test_soak_record_missing_script_gate_flagged(tmp_path):
+    """Script implements a gate the record never ran → violation (the
+    exact round-4 case: classifier_derive_equal added to the script,
+    record predates it)."""
+    gates = json.dumps({"core_equal": True, "doctor_ok": True})
+    repo = _mk_soak_repo(
+        tmp_path, f"# soak\n**VERDICT: PASS**\n<!-- gate-checks: {gates} -->\n"
+    )
+    res = evidence_audit.audit(repo)
+    probs = " ".join(v["problem"] for v in res["violations"])
+    assert "classifier_derive_equal" in probs
+
+
+def test_soak_record_current_and_passing_clean(tmp_path):
+    gates = json.dumps(
+        {"core_equal": True, "doctor_ok": True, "classifier_derive_equal": True}
+    )
+    repo = _mk_soak_repo(
+        tmp_path, f"# soak\n**VERDICT: PASS**\n<!-- gate-checks: {gates} -->\n"
+    )
+    assert evidence_audit.audit(repo)["violations"] == []
+
+
 def test_live_docs_cite_only_known_artifact_kinds():
     """Every citation the regex finds in the real docs parses as a path
     under the repo — guards the regex against matching prose."""
