@@ -37,6 +37,10 @@ EXTENDED_SET = [
     "lang_id_confusion",
     "simhash_docs",
     "semantic_dedup_exemplars",
+    # round-5: demoted from headline (VERDICT r4 item 4) — the training
+    # loop dominated the headline total and masked regressions in the
+    # other entries; value_r4_comparable below keeps the r4 comparison.
+    "doc_quality_classifier",
 ]
 
 
@@ -219,6 +223,14 @@ def main() -> None:
               "media_decode_meta"]
     if all(n in queries for n in r3_set):
         out["value_r3_comparable"] = round(sum(queries[n] for n in r3_set), 3)
+    # Round-4's headline set = current headline + doc_quality_classifier
+    # (demoted to extended in round 5): this subtotal is the
+    # apples-to-apples comparison against BENCH_r04's "value".
+    r4_set = r3_set + ["ann_ivf_topk", "doc_span_dedup", "bpe_encode_docs",
+                       "doc_quality_classifier"]
+    both = queries | extended
+    if all(n in both for n in r4_set):
+        out["value_r4_comparable"] = round(sum(both[n] for n in r4_set), 3)
     print(json.dumps(out))
     spark.stop()
 

@@ -157,7 +157,7 @@ def margin_expr(weights: list[float], text_col: str = "text", *,
     at D ≤ ``dim_literal_max`` (default :data:`LITERAL_DIM_MAX`, read at
     call time so tests can force either path) the weights ride as a
     literal array inside whole-stage codegen; above it the Arrow
-    gather+dot closure (:func:`_margin_arrow`) — same JVM-side
+    gather+dot closure (:func:`_gather_margin_udf`) — same JVM-side
     bucketing, so both plans score identically."""
     dim = len(weights) - 1
     t = F.split(F.col(text_col), " ")

@@ -2607,7 +2607,11 @@ _QC_DIM, _QC_ITER, _QC_LR = 128, 4, 20.0
          "features + full-batch logistic regression, gradient = one map-side-"
          "combined hash-agg per iteration, scoring a map-only expression; "
          "weights pinned bit-exact across engines via 12dp gradient rounding",
-    headline=True,  # round-4 rotation: training loop gets driver-grade timing
+    # round-5: moved to bench.py's EXTENDED_SET — as a headline entry the
+    # 4-iteration training loop dominated the total (77% in round 4) and
+    # masked regressions in the other 13 entries; it still gets
+    # driver-grade timing every round, just outside the headline sum
+    # (BENCH_r05 carries value_r4_comparable for round-over-round).
 )
 def doc_quality_classifier(spark, sf_dir):
     """Train on docs with doc_id % 5 != 0, score the held-out fifth
