@@ -42,29 +42,46 @@ def wave_table(waves) -> list[str]:
         "| wave | events | replay s | ev/s | state GB | files | manifest len | read-amp max | major compact s | full read s | live rows |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
+
+    def fmt(v, spec=""):
+        # a resumed wave (scripts/endurance_resume.py) records None for
+        # fields only the crashed JVM could have measured
+        return "—" if v is None else format(v, spec)
+
     for w in waves:
         lines.append(
-            f"| {w['wave']} | {w['events'] / 1e6:.1f}M | {w['replay_sec']:.0f} "
-            f"| {w['ev_per_sec']:,} | {w['target_bytes'] / GB:.2f} | {w['target_files']} "
+            f"| {w['wave']}{'*' if w.get('resumed') else ''} "
+            f"| {w['events'] / 1e6:.1f}M | {fmt(w['replay_sec'], '.0f')} "
+            f"| {fmt(w['ev_per_sec'], ',')} | {w['target_bytes'] / GB:.2f} | {w['target_files']} "
             f"| {w['manifest_versions']} | {w['readamp_max']} "
             f"| {w.get('major_compact_sec', '')} | {w.get('read_full_sec', '')} "
             f"| {w.get('live_rows', '')} |"
         )
+    if any(w.get("resumed") for w in waves):
+        lines.append("")
+        lines.append("\\* wave finished by `scripts/endurance_resume.py` after the "
+                     "first JVM's crash — its replay_sec covers only the resumed "
+                     "tail of the wave, so ev/s is not reported for that row.")
     return lines
 
 
 def headline(summary) -> list[str]:
     if not summary:
         return []
-    return [
+    wall = summary.get("wall_sec")
+    lines = [
         f"- **{summary['total_events']:,} events over {summary['batches']} micro-batches**, "
-        f"{summary['wall_sec'] / 60:.0f} min total wall (incl. driver-side generation between waves), "
-        f"**{summary['events_per_sec_overall']:,} ev/s** inside the replay batches.",
+        + (f"{wall / 60:.0f} min total wall (incl. driver-side generation between waves), "
+           if wall is not None else "")
+        + f"**{summary['events_per_sec_overall']:,} ev/s** inside the replay batches.",
         f"- **Per-batch wall is flat**: first-quartile mean {summary['batch_wall_first_quartile_mean']}s "
         f"vs last-quartile mean {summary['batch_wall_last_quartile_mean']}s — "
         f"decay ratio **{summary['decay_ratio_last_vs_first']}** "
         "(≤1 = no decay; the table behind the tail grew the whole time).",
     ]
+    if summary.get("resume_note"):
+        lines.append(f"- **Crash + lossless resume mid-run**: {summary['resume_note']}.")
+    return lines
 
 
 def run_notes(log_path: str) -> list[str]:

@@ -94,7 +94,8 @@ def _check_endurance_report(path: str, repo: str) -> list[str]:
     if os.path.exists(log):
         n_waves = sum(1 for r in _jsonl(log) if r.get("kind") == "wave")
         # the renderer emits one table row per wave: "| <wave_idx> |"
-        covered = len(re.findall(r"^\|\s*\d+\s*\|", text, re.M))
+        # (a trailing * marks a wave finished by the resume driver)
+        covered = len(re.findall(r"^\|\s*\d+\*?\s*\|", text, re.M))
         if covered < n_waves:
             probs.append(f"endurance.md tabulates {covered} waves but the "
                          f"log records {n_waves}")
