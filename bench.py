@@ -41,6 +41,8 @@ EXTENDED_SET = [
     # loop dominated the headline total and masked regressions in the
     # other entries; value_r4_comparable below keeps the r4 comparison.
     "doc_quality_classifier",
+    # round-5 addition: DSIR importance weights (xxhash64 bench tier).
+    "doc_dsir_weights",
 ]
 
 

@@ -1,0 +1,150 @@
+"""DSIR-style data selection: hashed-n-gram importance weights.
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023)
+scores every raw document by how much more likely its hashed bag-of-
+n-grams is under a *target* distribution than under the *raw* corpus
+distribution; training data is then sampled proportionally to
+exp(weight). Here the feature space is hashed unigram buckets and the
+two distributions are estimated from the same corpus in ONE pass: the
+target is a predicate over the document metadata (e.g. ``lang = 'en'``
+— "give me more data that looks like my English slice").
+
+log w(doc) = sum over token occurrences t of
+             [ ln p_target(bucket(t)) - ln p_raw(bucket(t)) ]
+with add-one smoothing over ``n_buckets`` cells.
+
+Scale shape (the 100 TB question):
+- one map-only explode, then a (doc_id, bucket) partial count — the
+  only shuffle that sees token-scale data, and it is map-side combined
+  down to at most ``n_buckets`` rows per document;
+- the bucket unigram model is a ``n_buckets``-row aggregate (64 cells
+  by default) + a 1-row totals aggregate — driver-sized metadata, the
+  log-ratio table is broadcast back;
+- per-doc weights come from one broadcast join + one reduce over the
+  already-shrunk (doc_id, bucket) counts. No token-scale data crosses
+  a second shuffle, no Python touches a row.
+
+Two hash tiers behind ``portable_hash`` (same convention as
+operators/dedup.py): md5-hex-parse for bit-identical DuckDB oracle
+replay, xxhash64 for the production/bench path.
+
+Reference analog: none — the reference (pedrocondor/oec-etl) has no
+corpus-selection tooling; this extends the engine toward the
+training-data-pipeline surface the brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 64
+
+
+def _bucket(tok: Column, n_buckets: int, portable: bool) -> Column:
+    """Hash a token into [0, n_buckets). Portable tier parses the
+    leading 8 md5 hex chars (replicated in DuckDB via strpos
+    arithmetic); production tier is xxhash64 + pmod (sign-safe,
+    including Long.MIN_VALUE)."""
+    if portable:
+        h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(tok)
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Per-document DSIR log importance weight of the corpus against
+    the slice selected by the boolean ``target`` column expression.
+
+    Returns (id_col, n_tokens:bigint, dsir_logweight:double rounded 4).
+    Higher = more target-like under the hashed unigram model.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("is_tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    # token-scale → (doc, bucket)-scale: the one big (map-side
+    # combined) shuffle.
+    db = (
+        toks.select(id_col, "is_tgt", _bucket(F.col("tok"), n_buckets, portable_hash).alias("bucket"))
+        .groupBy(id_col, "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bucket unigram counts for both distributions in one aggregate.
+    bc = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_n"),
+        F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("tgt_n"),
+    )
+    tot = bc.agg(F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_n") + F.lit(1.0)) / (F.col("tgt_t") + F.lit(float(n_buckets))))
+            - F.log((F.col("raw_n") + F.lit(1.0)) / (F.col("raw_t") + F.lit(float(n_buckets))))
+        ).alias("lr"),
+    )
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            # + 0.0 folds IEEE -0.0 (a possible round() output on both
+            # engines) to +0.0 so the value hash can't split on it.
+            (F.round(F.sum(F.col("cnt") * F.col("lr")), 4) + F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )
+
+
+def importance_weights_sql(
+    table: str = "documents",
+    target_predicate: str = "lang = 'en'",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB oracle: the identical computation over the same md5
+    bucket hash (leading 8 hex chars parsed positionally — the
+    convention shared with the simhash oracle)."""
+    hexdig = "0123456789abcdef"
+    h = " + ".join(
+        f"(strpos('{hexdig}', substr(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, ({target_predicate}) AS is_tgt,
+             md5(unnest(string_split({text_col}, ' '))) AS m
+      FROM {table}
+    ),
+    hb AS (
+      SELECT {id_col}, is_tgt, CAST(({h}) AS BIGINT) % {n_buckets} AS bucket FROM toks
+    ),
+    db AS (
+      SELECT {id_col}, is_tgt, bucket, count(*)::BIGINT AS cnt
+      FROM hb GROUP BY 1, 2, 3
+    ),
+    bc AS (
+      SELECT bucket, sum(cnt)::BIGINT AS raw_n,
+             sum(CASE WHEN is_tgt THEN cnt ELSE 0 END)::BIGINT AS tgt_n
+      FROM db GROUP BY 1
+    ),
+    tot AS (SELECT sum(raw_n)::BIGINT AS raw_t, sum(tgt_n)::BIGINT AS tgt_t FROM bc),
+    lr AS (
+      SELECT bucket,
+             ln((tgt_n + 1.0) / (tgt_t + {n_buckets}))
+             - ln((raw_n + 1.0) / (raw_t + {n_buckets})) AS lr
+      FROM bc, tot
+    )
+    SELECT db.{id_col}, sum(cnt)::BIGINT AS n_tokens,
+           round(sum(cnt * lr.lr), 4) + 0.0 AS dsir_logweight
+    FROM db JOIN lr USING (bucket)
+    GROUP BY db.{id_col}
+    """

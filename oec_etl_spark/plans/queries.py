@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from oec_etl_spark.functions import hs6, text as tx, zorder
 from oec_etl_spark.functions.vectors import cosine
-from oec_etl_spark.operators import bpe, classifier, decontam, lm
+from oec_etl_spark.operators import bpe, classifier, decontam, dsir, lm
 from oec_etl_spark.operators import dedup as dd
 from oec_etl_spark.operators import reshape, similarity, span_dedup
 from oec_etl_spark.operators.lww import lww_reduce
@@ -2782,6 +2782,28 @@ def corpus_mixture_weights(spark, sf_dir):
     return s.select(
         "source", "n_docs", "tokens",
         F.round(p / F.sum(p).over(w), 6).alias("mix_weight"),
+    )
+
+
+@_register(
+    "doc_dsir_weights",
+    dsir.importance_weights_sql("documents", target_predicate="lang = 'en'"),
+    tags="DSIR data selection (Xie et al. 2023): hashed-unigram importance "
+         "log-weights of every doc against the lang='en' target slice — "
+         "one token-scale shuffle (map-side combined to doc×bucket), "
+         "64-cell broadcast model, portable md5 bucket tier for the oracle",
+    bench_build=lambda spark, sf_dir: dsir.importance_weights(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en", portable_hash=False
+    ),
+)
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): ln p_target/p_raw
+    of each document's hashed unigram bag, target = the English slice.
+    The bench tier swaps the oracle's md5 bucket hash for xxhash64
+    (identical plan shape). Reference analog: none — corpus-selection
+    surface mandated by the brief."""
+    return dsir.importance_weights(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en", portable_hash=True
     )
 
 

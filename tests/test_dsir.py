@@ -1,0 +1,110 @@
+"""DSIR importance weights (operators/dsir.py): exact replay against a
+pure-Python reference on a tiny corpus, target-slice ordering sanity,
+tier agreement (portable md5 vs production xxhash64 plan shape), and
+the plan gates (no Python eval, broadcast model join)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oec_etl_spark.operators import dsir
+
+DOCS = [
+    # (doc_id, text, lang) — the "en" slice reuses a distinct vocabulary
+    # so its buckets separate from the rest even under 64-way hashing.
+    (0, "spark merge batch spark merge", "en"),
+    (1, "spark batch table merge row", "en"),
+    (2, "uno dos tres cuatro cinco", "es"),
+    (3, "eins zwei drei vier", "de"),
+    (4, "spark row merge batch table", "en"),
+    (5, "uno dos eins zwei spark", "es"),
+]
+
+
+def _bucket_py(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _weights_py(docs, n_buckets=64, target_lang="en"):
+    """The definition, computed directly: add-one-smoothed bucket
+    unigram log-ratio, summed over each doc's token occurrences."""
+    raw, tgt = {}, {}
+    for _id, text, lang in docs:
+        for t in text.split(" "):
+            b = _bucket_py(t, n_buckets)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == target_lang:
+                tgt[b] = tgt.get(b, 0) + 1
+    raw_t, tgt_t = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for _id, text, lang in docs:
+        w = 0.0
+        for t in text.split(" "):
+            b = _bucket_py(t, n_buckets)
+            w += math.log((tgt.get(b, 0) + 1.0) / (tgt_t + n_buckets)) - math.log(
+                (raw[b] + 1.0) / (raw_t + n_buckets)
+            )
+        out[_id] = (len(text.split(" ")), round(w, 4) + 0.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_matches_python_reference(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+        for r in dsir.importance_weights(docs_df, F.col("lang") == "en").collect()
+    }
+    assert got == _weights_py(DOCS)
+
+
+def test_target_docs_score_higher(spark, docs_df):
+    rows = dsir.importance_weights(docs_df, F.col("lang") == "en").collect()
+    by_id = {r["doc_id"]: r["dsir_logweight"] for r in rows}
+    en = [by_id[i] for i, _, lang in DOCS if lang == "en"]
+    other = [by_id[i] for i, _, lang in DOCS if lang != "en"]
+    # every pure-target doc beats every pure-non-target doc; the mixed
+    # doc (5) sits in between is not required — means suffice.
+    assert min(en) > max(by_id[i] for i in (2, 3))
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_production_tier_same_shape_different_hash(spark, docs_df):
+    port = dsir.importance_weights(docs_df, F.col("lang") == "en", portable_hash=True)
+    prod = dsir.importance_weights(docs_df, F.col("lang") == "en", portable_hash=False)
+    # same schema and doc set; token counts are hash-independent.
+    assert port.schema == prod.schema
+    p = {r["doc_id"]: r["n_tokens"] for r in port.collect()}
+    q = {r["doc_id"]: r["n_tokens"] for r in prod.collect()}
+    assert p == q
+
+
+def test_plan_no_python_and_broadcast_model(spark, docs_df):
+    plan = dsir.importance_weights(
+        docs_df, F.col("lang") == "en"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # the 1-row totals join must broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_oracle_sql_matches_duckdb(docs_df, spark):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", docs_df.toPandas())
+    oracle = {
+        int(r.doc_id): (int(r.n_tokens), float(r.dsir_logweight))
+        for r in con.sql(dsir.importance_weights_sql("documents")).df().itertuples()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+        for r in dsir.importance_weights(docs_df, F.col("lang") == "en").collect()
+    }
+    assert got == oracle
