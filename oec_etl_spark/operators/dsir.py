@@ -104,6 +104,64 @@ def importance_weights(
     )
 
 
+def gumbel_topk(
+    weights: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logweight",
+) -> DataFrame:
+    """The resampling step of DSIR: draw a without-replacement sample
+    of ``k`` docs with probability ∝ exp(log-weight) via the Gumbel
+    top-k trick — score = logweight + Gumbel(0,1), take the k largest.
+
+    The Gumbel noise is seeded from the doc id (uniform u in (0,1)
+    parsed from the leading md5 hex, g = -ln(-ln(u))), so the sample is
+    a pure function of the corpus: replay-deterministic, no RNG state,
+    identical in the DuckDB oracle. Selection orders by the ROUNDED
+    score (4 dp, doc-id tiebreak) so an engine's last-ulp ln()
+    difference cannot flip the boundary. Spark plans this as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver side of the exchange, never a global sort of the corpus.
+    """
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double") + 1.0) / F.lit(
+        4294967297.0
+    )
+    score = F.round(F.col(weight_col) + (-F.log(-F.log(u))), 4) + F.lit(0.0)
+    return (
+        weights.select(F.col(id_col), F.col(weight_col), score.alias("sample_score"))
+        .orderBy(F.col("sample_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sample_topk_sql(
+    table: str = "documents",
+    target_predicate: str = "lang = 'en'",
+    k: int = 100,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB oracle for ``importance_weights`` → ``gumbel_topk``."""
+    hexdig = "0123456789abcdef"
+    hm = " + ".join(
+        f"(strpos('{hexdig}', substr(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8)
+    )
+    weights = importance_weights_sql(table, target_predicate, id_col=id_col, n_buckets=n_buckets)
+    return f"""
+    WITH w AS ({weights}),
+    g AS (
+      SELECT {id_col}, dsir_logweight,
+             (CAST(({hm}) AS BIGINT) + 1.0) / 4294967297.0 AS u
+      FROM (SELECT {id_col}, dsir_logweight, md5(CAST({id_col} AS VARCHAR)) AS m FROM w)
+    )
+    SELECT {id_col}, dsir_logweight,
+           round(dsir_logweight + (-ln(-ln(u))), 4) + 0.0 AS sample_score
+    FROM g
+    ORDER BY sample_score DESC, {id_col}
+    LIMIT {k}
+    """
+
+
 def importance_weights_sql(
     table: str = "documents",
     target_predicate: str = "lang = 'en'",

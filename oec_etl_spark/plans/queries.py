@@ -2807,5 +2807,26 @@ def doc_dsir_weights(spark, sf_dir):
     )
 
 
+@_register(
+    "doc_dsir_sample",
+    dsir.sample_topk_sql("documents", target_predicate="lang = 'en'", k=100),
+    tags="DSIR resampling step: without-replacement sample of k docs with "
+         "P ∝ exp(importance log-weight) via seeded Gumbel top-k — "
+         "replay-deterministic (noise is a pure hash of the doc id), "
+         "TakeOrderedAndProject plan (per-partition top-k, k-row merge), "
+         "never a global sort of the corpus",
+)
+def doc_dsir_sample(spark, sf_dir):
+    """DSIR selection (operators/dsir.py): importance weights against
+    the lang='en' target slice, then the Gumbel top-k trick draws the
+    100-doc training sample ∝ exp(weight) with hash-seeded noise —
+    the full select-your-pretraining-data loop, end to end, with the
+    DuckDB oracle replaying both stages bit-for-bit."""
+    w = dsir.importance_weights(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en", portable_hash=True
+    )
+    return dsir.gumbel_topk(w, k=100)
+
+
 def headline_names() -> list[str]:
     return [s.name for s in REGISTRY.values() if s.headline]

@@ -95,6 +95,47 @@ def test_plan_no_python_and_broadcast_model(spark, docs_df):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def _gumbel_py(doc_id: int) -> float:
+    u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1.0) / 4294967297.0
+    return -math.log(-math.log(u))
+
+
+def test_gumbel_topk_matches_python_reference(spark, docs_df):
+    w = dsir.importance_weights(docs_df, F.col("lang") == "en")
+    got = [(r["doc_id"], r["sample_score"]) for r in dsir.gumbel_topk(w, k=3).collect()]
+    ref = _weights_py(DOCS)
+    scored = sorted(
+        ((round(ref[i][1] + _gumbel_py(i), 4) + 0.0, i) for i in ref),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert got == [(i, s) for s, i in scored]
+
+
+def test_gumbel_topk_is_deterministic_and_topk_planned(spark, docs_df):
+    w = dsir.importance_weights(docs_df, F.col("lang") == "en")
+    a = dsir.gumbel_topk(w, k=4).collect()
+    b = dsir.gumbel_topk(w, k=4).collect()
+    assert a == b
+    plan = dsir.gumbel_topk(w, k=4)._jdf.queryExecution().executedPlan().toString()
+    # per-partition top-k + k-row merge, never a global Sort of the corpus
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_oracle_matches_duckdb(docs_df, spark):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.register("documents", docs_df.toPandas())
+    oracle = [
+        (int(r.doc_id), float(r.sample_score))
+        for r in con.sql(
+            dsir.sample_topk_sql("documents", k=3)
+        ).df().itertuples()
+    ]
+    w = dsir.importance_weights(docs_df, F.col("lang") == "en")
+    got = [(r["doc_id"], r["sample_score"]) for r in dsir.gumbel_topk(w, k=3).collect()]
+    assert got == oracle
+
+
 def test_oracle_sql_matches_duckdb(docs_df, spark):
     duckdb = pytest.importorskip("duckdb")
     con = duckdb.connect()
