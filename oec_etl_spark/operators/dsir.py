@@ -104,6 +104,94 @@ def importance_weights(
     )
 
 
+def fit_log_ratios(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    portable_hash: bool = True,
+) -> list[float]:
+    """Train the DSIR model and collect it to the driver: the
+    ``n_buckets`` bucket log-ratios ln p_target - ln p_raw (add-one
+    smoothed). The collect is O(n_buckets) control metadata — the same
+    driver-sized-model discipline as the classifier's weights and the
+    IVF centroids — so a trained selector deploys into the CDC loop as
+    one declarative derive (:func:`weight_spark_sql`)."""
+    toks = df.select(target.alias("is_tgt"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    bc = (
+        toks.select("is_tgt", _bucket(F.col("tok"), n_buckets, portable_hash).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_n"),
+        )
+        .collect()
+    )
+    raw = [0] * n_buckets
+    tgt = [0] * n_buckets
+    for r in bc:
+        raw[r["bucket"]] = r["raw_n"]
+        tgt[r["bucket"]] = r["tgt_n"]
+    raw_t, tgt_t = float(sum(raw)), float(sum(tgt))
+    import math
+
+    return [
+        math.log((tgt[b] + 1.0) / (tgt_t + n_buckets)) - math.log((raw[b] + 1.0) / (raw_t + n_buckets))
+        for b in range(n_buckets)
+    ]
+
+
+def weight_expr(
+    log_ratios: list[float],
+    text_col: str = "text",
+    portable_hash: bool = True,
+    dp: int = 4,
+) -> Column:
+    """Per-row DSIR log-weight from a trained model: one map-only
+    higher-order aggregate over the split tokens, the model riding as a
+    literal array — no join, no shuffle, codegen'd. Matches
+    :func:`importance_weights`' ``dsir_logweight`` (same smoothing,
+    same rounding, -0.0 folded)."""
+    n = len(log_ratios)
+    arr = F.array(*[F.lit(float(x)) for x in log_ratios])
+    toks = F.split(F.col(text_col), " ")
+    acc = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda a, t: a + F.element_at(arr, _bucket(t, n, portable_hash).cast("int") + 1),
+    )
+    return F.round(acc, dp) + F.lit(0.0)
+
+
+def weight_spark_sql(
+    log_ratios: list[float],
+    text_col: str = "text",
+    portable_hash: bool = True,
+    dp: int = 4,
+) -> str:
+    """:func:`weight_expr` rendered as a Spark-SQL STRING — the form
+    the streaming engine's declarative ``derives`` accept, so a trained
+    selector attaches its weight at ingest:
+
+        derives={"dsir_w": weight_spark_sql(fit_log_ratios(corpus, tgt))}
+
+    Log-ratios ride as ``CAST('<repr>' AS DOUBLE)`` literals (repr
+    round-trips IEEE doubles; the string cast dodges SQL's decimal
+    default), so the stored derive and a post-hoc :func:`weight_expr`
+    rescoring agree bit-for-bit."""
+    n = len(log_ratios)
+    if portable_hash:
+        bucket = f"CAST(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % {n} AS INT)"
+    else:
+        bucket = f"CAST(pmod(xxhash64(tok), {n}) AS INT)"
+    lits = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in log_ratios)
+    agg = (
+        f"aggregate(split({text_col}, ' '), CAST(0.0 AS DOUBLE), "
+        f"(acc, tok) -> acc + element_at(array({lits}), {bucket} + 1))"
+    )
+    return f"round({agg}, {dp}) + 0.0D"
+
+
 def gumbel_topk(
     weights: DataFrame,
     k: int = 100,

@@ -136,6 +136,40 @@ def test_sample_oracle_matches_duckdb(docs_df, spark):
     assert got == oracle
 
 
+def test_trained_model_derive_matches_batch_weights(spark, docs_df):
+    """fit → deploy as a map-only derive: per-row scores from the
+    trained log-ratio model must equal the batch importance_weights
+    output, on both the Column builder and the SQL renderer (the
+    engine's `derives` form)."""
+    lrs = dsir.fit_log_ratios(docs_df, F.col("lang") == "en")
+    assert len(lrs) == dsir.N_BUCKETS
+    batch = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir.importance_weights(docs_df, F.col("lang") == "en").collect()
+    }
+    via_col = {
+        r["doc_id"]: r["w"]
+        for r in docs_df.select("doc_id", dsir.weight_expr(lrs).alias("w")).collect()
+    }
+    via_sql = {
+        r["doc_id"]: r["w"]
+        for r in docs_df.select(
+            "doc_id", F.expr(dsir.weight_spark_sql(lrs)).alias("w")
+        ).collect()
+    }
+    assert via_col == batch
+    assert via_sql == batch
+
+
+def test_trained_model_derive_is_map_only(spark, docs_df):
+    lrs = dsir.fit_log_ratios(docs_df, F.col("lang") == "en")
+    plan = (
+        docs_df.select(dsir.weight_expr(lrs).alias("w"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_oracle_sql_matches_duckdb(docs_df, spark):
     duckdb = pytest.importorskip("duckdb")
     con = duckdb.connect()
