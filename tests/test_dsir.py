@@ -95,6 +95,29 @@ def test_plan_no_python_and_broadcast_model(spark, docs_df):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+@pytest.mark.parametrize("seed", [7, 101, 2026])
+def test_matches_python_reference_on_random_corpora(spark, seed):
+    """Parity holds on arbitrary corpora, not just the crafted one:
+    seeded random docs (small alphabet so buckets collide, mixed langs,
+    occasional empty text) replayed against the pure-Python
+    definition."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        n = rng.randint(0, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        docs.append((i, text, rng.choice(["en", "en", "es", "de"])))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+        for r in dsir.importance_weights(df, F.col("lang") == "en").collect()
+    }
+    assert got == _weights_py(docs)
+
+
 def _gumbel_py(doc_id: int) -> float:
     u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1.0) / 4294967297.0
     return -math.log(-math.log(u))
