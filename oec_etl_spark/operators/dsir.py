@@ -53,6 +53,25 @@ def _bucket(tok: Column, n_buckets: int, portable: bool) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def _grams(text_col: str, ngram: int) -> Column:
+    """Feature array for one document: the split tokens (ngram=1), plus
+    space-joined adjacent pairs when ngram=2 — the paper's hashed
+    unigram+bigram space. Pure built-ins (split/slice/zip_with/concat),
+    map-only."""
+    t = F.split(F.col(text_col), " ")
+    if ngram == 1:
+        return t
+    if ngram != 2:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    n = F.size(t)
+    big = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(t, big)
+
+
 def importance_weights(
     df: DataFrame,
     target: Column,
@@ -60,17 +79,22 @@ def importance_weights(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
     portable_hash: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
     """Per-document DSIR log importance weight of the corpus against
     the slice selected by the boolean ``target`` column expression.
 
+    ``ngram=2`` hashes unigrams AND adjacent bigrams into the same
+    bucket space (the feature space of the DSIR paper); ``n_tokens``
+    then counts features, not words.
+
     Returns (id_col, n_tokens:bigint, dsir_logweight:double rounded 4).
-    Higher = more target-like under the hashed unigram model.
+    Higher = more target-like under the hashed n-gram model.
     """
     toks = df.select(
         F.col(id_col),
         target.alias("is_tgt"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        F.explode(_grams(text_col, ngram)).alias("tok"),
     )
     # token-scale → (doc, bucket)-scale: the one big (map-side
     # combined) shuffle.
@@ -256,18 +280,32 @@ def importance_weights_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    ngram: int = 1,
 ) -> str:
     """DuckDB oracle: the identical computation over the same md5
     bucket hash (leading 8 hex chars parsed positionally — the
-    convention shared with the simhash oracle)."""
+    convention shared with the simhash oracle). ``ngram=2`` appends
+    space-joined adjacent pairs to the feature list, mirroring
+    :func:`_grams` (DuckDB lists are 1-indexed; ``range(1, len)`` is
+    half-open, so ``i`` runs over the bigram start positions)."""
     hexdig = "0123456789abcdef"
     h = " + ".join(
         f"(strpos('{hexdig}', substr(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8)
     )
+    if ngram == 1:
+        feats = f"string_split({text_col}, ' ')"
+    elif ngram == 2:
+        feats = (
+            f"list_concat(string_split({text_col}, ' '), "
+            f"list_transform(range(1, len(string_split({text_col}, ' '))), "
+            f"i -> string_split({text_col}, ' ')[i] || ' ' || string_split({text_col}, ' ')[i + 1]))"
+        )
+    else:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
     return f"""
     WITH toks AS (
       SELECT {id_col}, ({target_predicate}) AS is_tgt,
-             md5(unnest(string_split({text_col}, ' '))) AS m
+             md5(unnest({feats})) AS m
       FROM {table}
     ),
     hb AS (

@@ -2808,6 +2808,29 @@ def doc_dsir_weights(spark, sf_dir):
 
 
 @_register(
+    "doc_dsir_weights_bigram",
+    dsir.importance_weights_sql("documents", target_predicate="lang = 'en'", ngram=2),
+    tags="DSIR with the paper's full feature space: unigrams + adjacent "
+         "bigrams hashed into one bucket space — same one-shuffle/"
+         "broadcast-model plan as doc_dsir_weights, ~2x the exploded "
+         "feature stream",
+    bench_build=lambda spark, sf_dir: dsir.importance_weights(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en",
+        portable_hash=False, ngram=2,
+    ),
+)
+def doc_dsir_weights_bigram(spark, sf_dir):
+    """DSIR importance weights over hashed unigrams+bigrams (ngram=2),
+    the feature space of the paper. The bigram stream is built with
+    pure array built-ins (slice/zip_with/concat) before the explode —
+    map-only, no Python."""
+    return dsir.importance_weights(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en",
+        portable_hash=True, ngram=2,
+    )
+
+
+@_register(
     "doc_dsir_sample",
     dsir.sample_topk_sql("documents", target_predicate="lang = 'en'", k=100),
     tags="DSIR resampling step: without-replacement sample of k docs with "

@@ -29,12 +29,19 @@ def _bucket_py(tok: str, n_buckets: int) -> int:
     return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
 
 
-def _weights_py(docs, n_buckets=64, target_lang="en"):
+def _feats_py(text: str, ngram: int) -> list[str]:
+    toks = text.split(" ")
+    if ngram == 1:
+        return toks
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _weights_py(docs, n_buckets=64, target_lang="en", ngram=1):
     """The definition, computed directly: add-one-smoothed bucket
-    unigram log-ratio, summed over each doc's token occurrences."""
+    n-gram log-ratio, summed over each doc's feature occurrences."""
     raw, tgt = {}, {}
     for _id, text, lang in docs:
-        for t in text.split(" "):
+        for t in _feats_py(text, ngram):
             b = _bucket_py(t, n_buckets)
             raw[b] = raw.get(b, 0) + 1
             if lang == target_lang:
@@ -43,12 +50,12 @@ def _weights_py(docs, n_buckets=64, target_lang="en"):
     out = {}
     for _id, text, lang in docs:
         w = 0.0
-        for t in text.split(" "):
+        for t in _feats_py(text, ngram):
             b = _bucket_py(t, n_buckets)
             w += math.log((tgt.get(b, 0) + 1.0) / (tgt_t + n_buckets)) - math.log(
                 (raw[b] + 1.0) / (raw_t + n_buckets)
             )
-        out[_id] = (len(text.split(" ")), round(w, 4) + 0.0)
+        out[_id] = (len(_feats_py(text, ngram)), round(w, 4) + 0.0)
     return out
 
 
@@ -95,6 +102,37 @@ def test_plan_no_python_and_broadcast_model(spark, docs_df):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_bigram_matches_python_reference(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+        for r in dsir.importance_weights(
+            docs_df, F.col("lang") == "en", ngram=2
+        ).collect()
+    }
+    assert got == _weights_py(DOCS, ngram=2)
+
+
+def test_bigram_oracle_matches_duckdb_incl_degenerate_docs(spark):
+    """Bigram feature-list parity where it can break: empty text (one
+    empty token, zero bigrams) and single-token docs."""
+    duckdb = pytest.importorskip("duckdb")
+    docs = [(0, "a b c", "en"), (1, "", "en"), (2, "x", "es"), (3, "a b", "es")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    oracle = {
+        int(r.doc_id): (int(r.n_tokens), float(r.dsir_logweight))
+        for r in con.sql(
+            dsir.importance_weights_sql("documents", ngram=2)
+        ).df().itertuples()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+        for r in dsir.importance_weights(df, F.col("lang") == "en", ngram=2).collect()
+    }
+    assert got == oracle == _weights_py(docs, ngram=2)
+
+
 @pytest.mark.parametrize("seed", [7, 101, 2026])
 def test_matches_python_reference_on_random_corpora(spark, seed):
     """Parity holds on arbitrary corpora, not just the crafted one:
@@ -111,11 +149,14 @@ def test_matches_python_reference_on_random_corpora(spark, seed):
         text = " ".join(rng.choice(vocab) for _ in range(n))
         docs.append((i, text, rng.choice(["en", "en", "es", "de"])))
     df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
-    got = {
-        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
-        for r in dsir.importance_weights(df, F.col("lang") == "en").collect()
-    }
-    assert got == _weights_py(docs)
+    for ngram in (1, 2):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+            for r in dsir.importance_weights(
+                df, F.col("lang") == "en", ngram=ngram
+            ).collect()
+        }
+        assert got == _weights_py(docs, ngram=ngram)
 
 
 def _gumbel_py(doc_id: int) -> float:
